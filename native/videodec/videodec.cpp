@@ -1,0 +1,238 @@
+// videodec — host-side C++ video decode layer for ted_spad_tpu.
+//
+// TPU-native replacement for the reference's three decode dependencies (SURVEY.md §2.3):
+//   - NVIDIA DALI fn.readers.video (feature_extraction/dali_extraction.py:53-81): strided
+//     clip windowing over whole videos -> vd_read_strided / Python-side windowing;
+//   - decord VideoReader.get_batch (aux_code/ucf101_dl.py:12-19): random-access frame
+//     gather -> vd_read_indices;
+//   - OpenCV sequential VideoCapture (feature_extraction/shanghai_dl.py:45-83) ->
+//     vd_read_strided from frame 0.
+//
+// Decodes on the host CPU via libavcodec, converts to packed RGB24 with swscale (optional
+// resize), and writes into caller-provided buffers so Python/numpy owns all memory. All
+// functions release the GIL implicitly (pure C, called through ctypes). One decoder object
+// per thread; a Python thread pool provides multi-video parallelism.
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Decoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  SwsContext* sws = nullptr;
+  AVFrame* frame = nullptr;
+  AVFrame* rgb = nullptr;
+  AVPacket* pkt = nullptr;
+  int stream_idx = -1;
+  int out_w = 0, out_h = 0;
+  int64_t next_frame = 0;   // index of the next frame the decoder will emit
+  int64_t num_frames = -1;  // estimated total frames
+  double fps = 0.0;
+  std::string error;
+
+  ~Decoder() {
+    if (sws) sws_freeContext(sws);
+    if (rgb) av_frame_free(&rgb);
+    if (frame) av_frame_free(&frame);
+    if (pkt) av_packet_free(&pkt);
+    if (codec) avcodec_free_context(&codec);
+    if (fmt) avformat_close_input(&fmt);
+  }
+};
+
+thread_local std::string g_last_error;
+
+int64_t estimate_num_frames(const AVFormatContext* fmt, const AVStream* st, double fps) {
+  if (st->nb_frames > 0) return st->nb_frames;
+  if (st->duration > 0 && st->time_base.den > 0) {
+    const double secs = st->duration * av_q2d(st->time_base);
+    return static_cast<int64_t>(secs * fps + 0.5);
+  }
+  if (fmt->duration > 0) {
+    const double secs = static_cast<double>(fmt->duration) / AV_TIME_BASE;
+    return static_cast<int64_t>(secs * fps + 0.5);
+  }
+  return -1;
+}
+
+// Decode the next frame into dec->frame. Returns 1 on success, 0 on EOF, <0 on error.
+int decode_next(Decoder* dec) {
+  while (true) {
+    int ret = avcodec_receive_frame(dec->codec, dec->frame);
+    if (ret == 0) {
+      dec->next_frame++;
+      return 1;
+    }
+    if (ret == AVERROR_EOF) return 0;
+    if (ret != AVERROR(EAGAIN)) return ret;
+    // Feed more packets.
+    while (true) {
+      ret = av_read_frame(dec->fmt, dec->pkt);
+      if (ret == AVERROR_EOF) {
+        avcodec_send_packet(dec->codec, nullptr);  // flush
+        break;
+      }
+      if (ret < 0) return ret;
+      if (dec->pkt->stream_index == dec->stream_idx) {
+        ret = avcodec_send_packet(dec->codec, dec->pkt);
+        av_packet_unref(dec->pkt);
+        if (ret < 0 && ret != AVERROR(EAGAIN)) return ret;
+        break;
+      }
+      av_packet_unref(dec->pkt);
+    }
+  }
+}
+
+// Convert dec->frame to RGB24 into out (out_h*out_w*3 bytes).
+int to_rgb(Decoder* dec, uint8_t* out) {
+  uint8_t* dst[4] = {out, nullptr, nullptr, nullptr};
+  int dst_linesize[4] = {dec->out_w * 3, 0, 0, 0};
+  sws_scale(dec->sws, dec->frame->data, dec->frame->linesize, 0, dec->codec->height, dst,
+            dst_linesize);
+  return 0;
+}
+
+// Seek so that the decoder's next emitted frame index is <= target. Conservative:
+// seek to the keyframe at/before the target timestamp, reset counters by decoding
+// with frame-accurate skip.
+int seek_to(Decoder* dec, int64_t target) {
+  AVStream* st = dec->fmt->streams[dec->stream_idx];
+  const double tb = av_q2d(st->time_base);
+  const int64_t ts = (dec->fps > 0 && tb > 0)
+                         ? static_cast<int64_t>(target / dec->fps / tb)
+                         : 0;
+  int ret = av_seek_frame(dec->fmt, dec->stream_idx, ts, AVSEEK_FLAG_BACKWARD);
+  if (ret < 0) return ret;
+  avcodec_flush_buffers(dec->codec);
+  // After a keyframe seek we do not know the exact frame index; recover it from the
+  // first decoded frame's pts.
+  ret = decode_next(dec);
+  if (ret <= 0) return ret < 0 ? ret : AVERROR_EOF;
+  const int64_t pts = dec->frame->best_effort_timestamp;
+  int64_t idx = 0;
+  if (pts != AV_NOPTS_VALUE && tb > 0 && dec->fps > 0) {
+    idx = static_cast<int64_t>(pts * tb * dec->fps + 0.5);
+  }
+  dec->next_frame = idx + 1;
+  return 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* vd_last_error() { return g_last_error.c_str(); }
+
+// Open a video; out_w/out_h == 0 keeps native resolution.
+void* vd_open(const char* path, int out_w, int out_h) {
+  auto dec = new Decoder();
+  int ret = avformat_open_input(&dec->fmt, path, nullptr, nullptr);
+  if (ret < 0) {
+    g_last_error = "avformat_open_input failed";
+    delete dec;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(dec->fmt, nullptr) < 0) {
+    g_last_error = "no stream info";
+    delete dec;
+    return nullptr;
+  }
+  dec->stream_idx =
+      av_find_best_stream(dec->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (dec->stream_idx < 0) {
+    g_last_error = "no video stream";
+    delete dec;
+    return nullptr;
+  }
+  AVStream* st = dec->fmt->streams[dec->stream_idx];
+  const AVCodec* codec = avcodec_find_decoder(st->codecpar->codec_id);
+  if (!codec) {
+    g_last_error = "unsupported codec";
+    delete dec;
+    return nullptr;
+  }
+  dec->codec = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(dec->codec, st->codecpar);
+  dec->codec->thread_count = 0;  // auto
+  if (avcodec_open2(dec->codec, codec, nullptr) < 0) {
+    g_last_error = "avcodec_open2 failed";
+    delete dec;
+    return nullptr;
+  }
+  AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+  dec->fps = fr.den ? av_q2d(fr) : 25.0;
+  dec->num_frames = estimate_num_frames(dec->fmt, st, dec->fps);
+  dec->out_w = out_w > 0 ? out_w : dec->codec->width;
+  dec->out_h = out_h > 0 ? out_h : dec->codec->height;
+  dec->sws = sws_getContext(dec->codec->width, dec->codec->height, dec->codec->pix_fmt,
+                            dec->out_w, dec->out_h, AV_PIX_FMT_RGB24, SWS_BILINEAR,
+                            nullptr, nullptr, nullptr);
+  dec->frame = av_frame_alloc();
+  dec->rgb = av_frame_alloc();
+  dec->pkt = av_packet_alloc();
+  if (!dec->sws || !dec->frame || !dec->pkt) {
+    g_last_error = "allocation failure";
+    delete dec;
+    return nullptr;
+  }
+  return dec;
+}
+
+void vd_close(void* h) { delete static_cast<Decoder*>(h); }
+
+int64_t vd_num_frames(void* h) { return static_cast<Decoder*>(h)->num_frames; }
+double vd_fps(void* h) { return static_cast<Decoder*>(h)->fps; }
+int vd_width(void* h) { return static_cast<Decoder*>(h)->out_w; }
+int vd_height(void* h) { return static_cast<Decoder*>(h)->out_h; }
+
+// Gather frames at sorted `indices` (n of them) into out (n, out_h, out_w, 3) uint8.
+// decord get_batch semantics: skips forward within one decode pass, seeks when the gap
+// is large or backwards. Returns number of frames written (may be < n at EOF).
+int64_t vd_read_indices(void* h, const int64_t* indices, int64_t n, uint8_t* out) {
+  auto dec = static_cast<Decoder*>(h);
+  const int64_t frame_bytes = static_cast<int64_t>(dec->out_w) * dec->out_h * 3;
+  int64_t written = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t target = indices[i];
+    if (target < dec->next_frame - 1 || target > dec->next_frame + 256) {
+      if (seek_to(dec, target) <= 0) break;
+    }
+    // dec->frame currently holds frame (next_frame - 1) after seek; otherwise decode on.
+    bool have = dec->next_frame - 1 >= 0 &&
+                dec->next_frame - 1 == target &&
+                dec->frame->data[0] != nullptr;
+    int ret = 1;
+    while (!have) {
+      ret = decode_next(dec);
+      if (ret <= 0) break;
+      have = dec->next_frame - 1 == target;
+    }
+    if (ret <= 0 && !have) break;
+    to_rgb(dec, out + written * frame_bytes);
+    written++;
+  }
+  return written;
+}
+
+// Sequential strided read: frames start, start+stride, ... (n frames) into out.
+// Covers the DALI sequence reader and the cv2 whole-video loop.
+int64_t vd_read_strided(void* h, int64_t start, int64_t n, int64_t stride, uint8_t* out) {
+  std::vector<int64_t> idx(n);
+  for (int64_t i = 0; i < n; ++i) idx[i] = start + i * stride;
+  return vd_read_indices(h, idx.data(), n, out);
+}
+
+}  // extern "C"

@@ -1,0 +1,202 @@
+"""Python binding for the native video decode layer (native/videodec/libvideodec.so).
+
+Replaces the reference's decord (ucf101_dl.py:12-19), DALI video reader
+(dali_extraction.py:53-81) and cv2 loop (shanghai_dl.py:45-83) with one C++/FFmpeg
+decoder exposed through ctypes (GIL released during decode — a Python thread pool gives
+multi-video parallelism, the host-side analogue of DALI's decode threads).
+
+Fallback: if the shared library (or FFmpeg) is unavailable, ``SyntheticVideoReader``
+serves deterministic procedurally-generated frames so every pipeline and test runs
+without media assets.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Sequence
+
+import numpy as np
+
+_LIB_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native", "videodec")
+_LIB_PATH = os.path.abspath(os.path.join(_LIB_DIR, "libvideodec.so"))
+_lib = None
+_lib_error: str | None = None
+
+
+def _load_library():
+    global _lib, _lib_error
+    if _lib is not None or _lib_error is not None:
+        return _lib
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(["make", "-C", os.path.dirname(_LIB_PATH)], check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.vd_open.restype = ctypes.c_void_p
+        lib.vd_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        lib.vd_close.argtypes = [ctypes.c_void_p]
+        lib.vd_num_frames.restype = ctypes.c_int64
+        lib.vd_num_frames.argtypes = [ctypes.c_void_p]
+        lib.vd_fps.restype = ctypes.c_double
+        lib.vd_fps.argtypes = [ctypes.c_void_p]
+        lib.vd_width.restype = ctypes.c_int
+        lib.vd_width.argtypes = [ctypes.c_void_p]
+        lib.vd_height.restype = ctypes.c_int
+        lib.vd_height.argtypes = [ctypes.c_void_p]
+        lib.vd_read_indices.restype = ctypes.c_int64
+        lib.vd_read_indices.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.vd_read_strided.restype = ctypes.c_int64
+        lib.vd_read_strided.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.vd_last_error.restype = ctypes.c_char_p
+        _lib = lib
+    except Exception as e:  # noqa: BLE001 — degrade to synthetic reader
+        _lib_error = str(e)
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load_library() is not None
+
+
+class VideoReader:
+    """Random-access + strided frame reader over one video file (RGB24 numpy out)."""
+
+    def __init__(self, path: str, out_w: int = 0, out_h: int = 0):
+        lib = _load_library()
+        if lib is None:
+            raise RuntimeError(f"native videodec unavailable: {_lib_error}")
+        self._lib = lib
+        self._h = lib.vd_open(path.encode(), out_w, out_h)
+        if not self._h:
+            raise IOError(f"cannot open {path}: {lib.vd_last_error().decode()}")
+        self.path = path
+        self.width = lib.vd_width(self._h)
+        self.height = lib.vd_height(self._h)
+        self.fps = lib.vd_fps(self._h)
+        self._num_frames = int(lib.vd_num_frames(self._h))
+
+    def __len__(self) -> int:
+        return self._num_frames
+
+    def get_batch(self, indices: Sequence[int]) -> np.ndarray:
+        """decord ``VideoReader.get_batch`` semantics (ucf101_dl.py:68, 91): frames at
+        sorted indices -> (n, H, W, 3) uint8."""
+        idx = np.asarray(sorted(int(i) for i in indices), dtype=np.int64)
+        out = np.empty((len(idx), self.height, self.width, 3), dtype=np.uint8)
+        n = self._lib.vd_read_indices(
+            self._h,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idx),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if n < len(idx):
+            # EOF short-read: palindrome-pad with the last decoded frame (the loaders
+            # apply their own padding policies on top, ucf101_dl.py:550-567).
+            out[n:] = out[max(n - 1, 0)]
+        return out
+
+    def read_strided(self, start: int, n: int, stride: int) -> np.ndarray:
+        """DALI-style sequence read: n frames at ``start + i*stride`` (dali_extraction.py:72)."""
+        out = np.empty((n, self.height, self.width, 3), dtype=np.uint8)
+        got = self._lib.vd_read_strided(
+            self._h, start, n, stride, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        )
+        if got < n:
+            out[got:] = out[max(got - 1, 0)]
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.vd_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001
+            pass
+
+
+class SyntheticVideoReader:
+    """Deterministic procedural video for tests/benches: frame ``i`` is a content-varying
+    gradient keyed by (seed, i) — replaces media fixtures (SURVEY.md §4 strategy)."""
+
+    def __init__(self, num_frames: int = 300, height: int = 240, width: int = 320, seed: int = 0, fps: float = 30.0):
+        self._n = num_frames
+        self.height = height
+        self.width = width
+        self.fps = fps
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self._n
+
+    def _frame(self, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0 : self.height, 0 : self.width]
+        phase = (self.seed * 97 + i) % 255
+        r = (xx * 255 // max(self.width - 1, 1) + phase) % 256
+        g = (yy * 255 // max(self.height - 1, 1) + 2 * phase) % 256
+        b = np.full_like(r, (i * 7 + self.seed) % 256)
+        return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+    def get_batch(self, indices: Sequence[int]) -> np.ndarray:
+        return np.stack([self._frame(int(i) % self._n) for i in indices])
+
+    def read_strided(self, start: int, n: int, stride: int) -> np.ndarray:
+        return self.get_batch([min(start + i * stride, self._n - 1) for i in range(n)])
+
+    def close(self):
+        pass
+
+
+def open_video(path: str, out_w: int = 0, out_h: int = 0):
+    """Open a real video if the native layer is up; ``synthetic://n=N,h=H,w=W,seed=S`` URIs
+    produce procedural videos for tests."""
+    if path.startswith("synthetic://"):
+        kv = dict(part.split("=") for part in path[len("synthetic://") :].split(",") if part)
+        return SyntheticVideoReader(
+            num_frames=int(kv.get("n", 300)),
+            height=int(kv.get("h", 240)),
+            width=int(kv.get("w", 320)),
+            seed=int(kv.get("seed", 0)),
+        )
+    return VideoReader(path, out_w, out_h)
+
+
+def write_y4m(path: str, frames: np.ndarray, fps: int = 25) -> str:
+    """Write (T, H, W, 3) uint8 RGB as a YUV4MPEG2 (C444) file — a pure-Python encoder so
+    decoder tests have a real container/codec path without an ffmpeg binary."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    t, h, w, _ = frames.shape
+    rgb = frames.astype(np.float32)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    # BT.601 full-range RGB -> YCbCr.
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444 XCOLORRANGE=FULL\n".encode())
+        for i in range(t):
+            f.write(b"FRAME\n")
+            for plane in (y[i], cb[i], cr[i]):
+                f.write(np.clip(plane + 0.5, 0, 255).astype(np.uint8).tobytes())
+    return path

@@ -1,0 +1,192 @@
+"""MGFN anomaly-detection stage: weakly-supervised train + frame-level AUC eval.
+
+Reference: anomaly_detection_mgfn/main.py (driver), train.py (loss/step), test.py (eval).
+
+TPU-first redesign:
+  - one jitted ``train_step`` (loss + grads + Adam update fused by XLA) instead of the
+    python loss assembly per batch (train.py:86-107);
+  - test videos run through static-length buckets with validity masks (exact — see
+    models/mgfn.py) so XLA compiles a handful of programs, not one per video length;
+  - data parallelism via ``jax.sharding``: batches sharded over the mesh's data axis,
+    params replicated (replaces single-GPU training; the model is tiny so DP suffices).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ted_spad_tpu.config.params import MGFNParams
+from ted_spad_tpu.data.features import (
+    FeatureDataset,
+    TestFeatureDataset,
+    padded_test_batch,
+    paired_train_batches,
+)
+from ted_spad_tpu.models import load_mgfn_model
+from ted_spad_tpu.ops.losses import mgfn_loss, smoothness_loss, sparsity_loss
+from ted_spad_tpu.ops.metrics import frame_level_scores, pr_auc, roc_auc
+from ted_spad_tpu.utils.checkpoint import BestCheckpointer, save_checkpoint
+
+
+@dataclasses.dataclass
+class TrainState:
+    variables: Any  # {'params': ..., 'batch_stats': ...}
+    opt_state: Any
+    step: int = 0
+
+
+def make_optimizer(p: MGFNParams) -> optax.GradientTransformation:
+    # Adam lr 1e-3, weight_decay 5e-4 (main.py:72). torch Adam's weight_decay is L2-added-
+    # to-grad, i.e. optax.add_decayed_weights *before* the Adam transform.
+    return optax.chain(
+        optax.add_decayed_weights(p.weight_decay),
+        optax.scale_by_adam(),
+        optax.scale(-p.lr),
+    )
+
+
+def make_train_step(model, optimizer, p: MGFNParams) -> Callable:
+    """Jitted step over a combined [normal; abnormal] batch (train.py:82-107)."""
+
+    @jax.jit
+    def train_step(state_vars, opt_state, rng, nfeat, nlabel, afeat, alabel):
+        batch = nfeat.shape[0]
+        video = jnp.concatenate([nfeat, afeat], axis=0)  # (2B, ncrops, 32, F+1)
+
+        def loss_fn(params):
+            variables = {**state_vars, "params": params}
+            outs, mutated = model.apply(
+                variables,
+                video,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            score_abnormal, score_normal, abn_fm, nor_fm, scores = outs
+            # scores: (2B, 32, 1) -> abnormal snippet scores (train.py:88-91).
+            abn_scores = scores.reshape(-1)[batch * scores.shape[1] :]
+            loss = (
+                mgfn_loss(
+                    score_normal,
+                    score_abnormal,
+                    nlabel,
+                    alabel,
+                    nor_fm,
+                    abn_fm,
+                    margin=p.contrastive_margin,
+                )
+                + smoothness_loss(abn_scores, p.lambda_smooth)
+                + sparsity_loss(abn_scores, p.lambda_sparse)
+            )
+            return loss, mutated
+
+        (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(state_vars["params"])
+        updates, opt_state = optimizer.update(grads, opt_state, state_vars["params"])
+        params = optax.apply_updates(state_vars["params"], updates)
+        new_vars = {**state_vars, "params": params, **mutated}
+        return new_vars, opt_state, loss
+
+    return train_step
+
+
+def make_score_fn(model) -> Callable:
+    """Jitted per-video scorer: (1, ncrops, Tb, F+1) + mask -> (Tb,) crop-mean scores."""
+
+    @jax.jit
+    def score_fn(variables, video, mask):
+        *_, scores = model.apply(variables, video, train=False, inference=True, mask=mask)
+        return scores[0, :, 0]  # (Tb,)
+
+    return score_fn
+
+
+def evaluate(
+    score_fn: Callable,
+    variables: Any,
+    test_ds: TestFeatureDataset,
+    gt: np.ndarray,
+    bucket_multiple: int = 64,
+) -> tuple[float, float]:
+    """Frame-level ROC/PR AUC over the concatenated test set (test.py:13-51)."""
+    all_scores = []
+    for i in range(len(test_ds)):
+        feats, _ = test_ds[i]
+        video, mask, t = padded_test_batch(feats, bucket_multiple)
+        s = np.asarray(score_fn(variables, video, mask))[:t]
+        all_scores.append(s)
+    clip_scores = np.concatenate(all_scores)
+    pred = frame_level_scores(clip_scores, len(gt), frames_per_clip=32)
+    return roc_auc(gt, pred), pr_auc(gt, pred)
+
+
+def train_anomaly_detection(
+    p: MGFNParams,
+    *,
+    save_dir: str = "ckpt",
+    gt: np.ndarray | None = None,
+    max_epochs: int | None = None,
+    shuffle: bool = False,
+    log_fn: Callable[[str], None] = print,
+    data_root: str | None = None,
+) -> dict[str, Any]:
+    """Full stage driver (main.py:30-117). Returns summary with best metrics/paths."""
+    normal_ds = FeatureDataset(p.rgb_list, p.datasetname, is_normal=True, seg_length=p.seg_length, root=data_root)
+    abnormal_ds = FeatureDataset(p.rgb_list, p.datasetname, is_normal=False, seg_length=p.seg_length, root=data_root)
+    test_ds = TestFeatureDataset(p.test_rgb_list, p.datasetname, root=data_root)
+    if gt is None:
+        gt = np.load(p.gt)
+
+    sample_feats, _ = normal_ds[0]
+    ncrops = sample_feats.shape[0]
+    model, variables = load_mgfn_model(p, ncrops=ncrops)
+    optimizer = make_optimizer(p)
+    opt_state = optimizer.init(variables["params"])
+    train_step = make_train_step(model, optimizer, p)
+    score_fn = make_score_fn(model)
+
+    # Best-ckpt selection: PR AUC for XD, ROC AUC otherwise (main.py:107-116).
+    select_pr = p.datasetname == "XD"
+    best = BestCheckpointer(save_dir, p.model_name, mode="max")
+    rng = jax.random.PRNGKey(p.seed)
+    epochs = max_epochs or p.max_epoch
+    history = {"epoch": [], "test_AUC": [], "test_PR": [], "loss": []}
+
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        loss_val = float("nan")
+        for batch in paired_train_batches(
+            normal_ds, abnormal_ds, p.batch_size, shuffle=shuffle, seed=p.seed + epoch
+        ):
+            rng, step_rng = jax.random.split(rng)
+            variables, opt_state, loss = train_step(variables, opt_state, step_rng, *map(jnp.asarray, batch))
+            loss_val = float(loss)
+        auc_roc, auc_pr = evaluate(score_fn, variables, test_ds, gt)
+        history["epoch"].append(epoch)
+        history["test_AUC"].append(auc_roc)
+        history["test_PR"].append(auc_pr)
+        history["loss"].append(loss_val)
+        metric = auc_pr if select_pr else auc_roc
+        saved = best.maybe_save(metric, epoch, {"mgfn_model_state_dict": variables})
+        log_fn(
+            f"epoch {epoch}: loss {loss_val:.4f} roc_auc {auc_roc:.4f} pr_auc {auc_pr:.4f} "
+            f"({time.time() - t0:.1f}s){' [saved]' if saved else ''}"
+        )
+
+    final_path = save_checkpoint(
+        os.path.join(save_dir, f"{p.model_name}_final.ckpt"), {"mgfn_model_state_dict": variables}
+    )
+    return {
+        "history": history,
+        "best_metric": best.best,
+        "best_path": best.best_path,
+        "final_path": final_path,
+        "variables": variables,
+    }

