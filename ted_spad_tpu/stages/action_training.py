@@ -1,0 +1,227 @@
+"""Action (utility) model training: ft on UCF101 clips, plain or through a frozen
+anonymizer.
+
+Reference: action_training/train_action.py (train_epoch:28, val_epoch:107,
+train_classifier:189) and train_anonymized_action.py (same skeleton, every batch passed
+through frozen fa first, :53-58 train / :135-140 val — utility-after-anonymization eval).
+
+Semantics kept:
+  - CE loss + optional temporal loss: 'trip' triplet on the 128-d mlp embeddings of
+    (anchor, same-frames positive, shifted negative) or 'con' NT-Xent on two views
+    (train_action.py:54-77);
+  - FrozenBN during largei3d fine-tune (train_action.py:39-41) via ``frozen_bn=True``;
+  - AMP autocast+GradScaler (:53, 79-81, 228) -> bf16 compute, no loss scaling needed;
+  - validation sweep over modes x cropping factors with per-video softmax averaging
+    (:330-381), best-acc checkpoint (:383-398) + rolling temp with restart (:204-212,
+    400-409).
+
+TPU redesign: decode on host threads; augmentation + (optional frozen fa) + ft forward +
+loss + optimizer update all in one jitted XLA program, batch sharded over the data mesh.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ted_spad_tpu.config.params import ActionParams
+from ted_spad_tpu.data.videos import ClipDataset, ValClipDataset
+from ted_spad_tpu.models import load_fa_model, load_ft_model
+from ted_spad_tpu.ops.augment import augment_batch, center_crop_resize
+from ted_spad_tpu.ops.losses import cross_entropy_loss, nt_xent_loss, triplet_margin_loss
+from ted_spad_tpu.ops.metrics import top1_accuracy
+from ted_spad_tpu.stages.common import LRScheduler, make_optimizer, set_learning_rate
+from ted_spad_tpu.utils.checkpoint import BestCheckpointer, load_checkpoint, restore_like, save_temp
+
+
+def _apply_fa_frames(fa_model, fa_vars, video: jnp.ndarray) -> jnp.ndarray:
+    """Frozen per-frame anonymization of (..., T, H, W, C) video (clean layout — see
+    ops/temporal.scrambled_frame_view for the reference's reshape quirk)."""
+    lead = video.shape[:-3]
+    frames = video.reshape((-1,) + video.shape[-3:])
+    out = fa_model.apply(fa_vars, frames, train=False)
+    return jax.lax.stop_gradient(out.reshape(lead + out.shape[-3:]))
+
+
+def make_train_step(ft_model, optimizer, p: ActionParams, fa=None) -> Callable:
+    frozen_bn = p.arch == "largei3d"  # train_action.py:39-41
+    temporal = p.temporal_loss
+
+    @jax.jit
+    def train_step(variables, opt_state, rng, clips_u8, labels, aug_params):
+        b, v = clips_u8.shape[:2]
+        flat = clips_u8.reshape((b * v,) + clips_u8.shape[2:])
+        aug = augment_batch(flat, aug_params, p.reso_h, p.reso_w)  # (B*V, T, h, w, C)
+        if fa is not None:
+            aug = _apply_fa_frames(fa[0], fa[1], aug)
+        aug = aug.reshape((b, v) + aug.shape[1:])
+
+        def loss_fn(params):
+            vars_in = {**variables, "params": params}
+
+            def fwd(x, mutable):
+                return ft_model.apply(
+                    vars_in, x, train=True, frozen_bn=frozen_bn,
+                    rngs={"dropout": rng}, mutable=mutable,
+                )
+
+            if temporal == "trip":
+                # One batched forward over all 3 views keeps the MXU busy (vs 3 calls).
+                out, mutated = fwd(aug.reshape((b * v,) + aug.shape[2:]), ["batch_stats"])
+                logits, feats = out
+                logits = logits.reshape(b, v, -1)[:, 0]
+                feats = feats.reshape(b, v, -1)
+                loss = cross_entropy_loss(logits, labels) + p.temporal_loss_weight * triplet_margin_loss(
+                    feats[:, 0], feats[:, 1], feats[:, 2], margin=p.triplet_loss_margin
+                )
+            elif temporal == "con":
+                out, mutated = fwd(aug.reshape((b * v,) + aug.shape[2:]), ["batch_stats"])
+                logits, feats = out
+                logits = logits.reshape(b, v, -1)[:, 0]
+                feats = feats.reshape(b, v, -1)
+                loss = cross_entropy_loss(logits, labels) + p.temporal_loss_weight * nt_xent_loss(
+                    feats[:, 0], feats[:, 1]
+                )
+            else:
+                out, mutated = fwd(aug[:, 0], ["batch_stats"])
+                logits, _ = out
+                loss = cross_entropy_loss(logits, labels)
+            return loss, mutated
+
+        (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+        updates, opt_state = optimizer.update(grads, opt_state, variables["params"])
+        params = jax.tree_util.tree_map(lambda x, u: x + u, variables["params"], updates)
+        return {**variables, "params": params, **mutated}, opt_state, loss
+
+    return train_step
+
+
+def make_eval_step(ft_model, p: ActionParams, fa=None) -> Callable:
+    def eval_step(variables, clips_u8, cropping_factor, hflip):
+        # clips_u8: (B, 1, T, H, W, C); center-crop factor + resize on device.
+        img = clips_u8[:, 0].astype(jnp.float32) / 255.0
+        img = center_crop_resize(img, cropping_factor, p.reso_h, p.reso_w, hflip=hflip)
+        if fa is not None:
+            img = _apply_fa_frames(fa[0], fa[1], img)
+        logits, _ = ft_model.apply(variables, img, train=False)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    return jax.jit(eval_step, static_argnames=("cropping_factor", "hflip"))
+
+
+def evaluate_action(
+    eval_step: Callable,
+    variables: Any,
+    items,
+    p: ActionParams,
+    *,
+    decode_hw: tuple[int, int] = (0, 0),
+) -> float:
+    """Mode x crop x hflip sweep with per-video softmax averaging (train_action.py:330-381)."""
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    labels: dict[int, int] = {}
+    for mode in range(p.num_modes):
+        ds = ValClipDataset(items, p, mode=mode, decode_w=decode_hw[1], decode_h=decode_hw[0])
+        for cf in p.cropping_facs:
+            for hf in p.hflip:
+                for batch in ds.batches(p.v_batch_size):
+                    probs = np.asarray(
+                        eval_step(variables, jnp.asarray(batch.clips), cropping_factor=float(cf), hflip=bool(hf))
+                    )
+                    for k, vid_idx in enumerate(batch.indices):
+                        vid_idx = int(vid_idx)
+                        sums[vid_idx] = sums.get(vid_idx, 0) + probs[k]
+                        counts[vid_idx] = counts.get(vid_idx, 0) + 1
+                        labels[vid_idx] = int(batch.labels[k])
+    vids = sorted(sums)
+    mean_probs = np.stack([sums[v] / counts[v] for v in vids])
+    return top1_accuracy(mean_probs, np.asarray([labels[v] for v in vids]))
+
+
+def train_action(
+    p: ActionParams,
+    *,
+    train_items,
+    val_items,
+    save_dir: str = "saved_models",
+    fa_variables: Any | None = None,
+    max_epochs: int | None = None,
+    decode_hw: tuple[int, int] = (0, 0),
+    log_fn: Callable[[str], None] = print,
+    seed: int = 0,
+) -> dict[str, Any]:
+    """Stage driver for both train_action.py:189 and (with ``p.anonymized``)
+    train_anonymized_action.py:204."""
+    ft_model, variables = load_ft_model(
+        p.arch, p.saved_model, num_classes=p.num_classes,
+        clip_shape=(p.num_frames, p.reso_h, p.reso_w), dtype=p.compute_dtype,
+    )
+    fa = None
+    if p.anonymized:
+        fa_model, fa_vars = load_fa_model(
+            p.saved_model_fa, image_size=(p.reso_h, p.reso_w), dtype=p.compute_dtype
+        )
+        if fa_variables is not None:
+            fa_vars = fa_variables
+        fa = (fa_model, fa_vars)
+
+    optimizer = make_optimizer(p.opt_type, p.learning_rate, p.weight_decay, p.momentum)
+    opt_state = optimizer.init(variables["params"])
+
+    # Restart-from-temp (train_action.py:204-212).
+    start_epoch = 1
+    temp_path = os.path.join(save_dir, p.run_id, "model_temp.ckpt")
+    if p.restart and os.path.exists(temp_path):
+        state = load_checkpoint(temp_path)
+        variables = restore_like(variables, state["ft_model_state_dict"])
+        start_epoch = int(state.get("epoch", 1))
+        log_fn(f"restarted from {temp_path} at epoch {start_epoch}")
+
+    views = 3 if p.temporal_loss == "trip" else (2 if p.temporal_loss == "con" else 1)
+    train_ds = ClipDataset(
+        train_items, p, views=views, data_percentage=p.data_percentage,
+        decode_w=decode_hw[1], decode_h=decode_hw[0], seed=seed,
+    )
+    train_step = make_train_step(ft_model, optimizer, p, fa)
+    eval_step = make_eval_step(ft_model, p, fa)
+
+    sched = LRScheduler(p)
+    best = BestCheckpointer(os.path.join(save_dir, p.run_id), "model", mode="max")
+    rng = jax.random.PRNGKey(seed)
+    epochs = max_epochs or p.num_epochs
+    history = {"train_loss": [], "val_acc": []}
+    train_loss = float("nan")
+
+    for epoch in range(start_epoch, epochs + 1):
+        t0 = time.time()
+        lr = sched.epoch_lr(epoch, train_loss)
+        opt_state = set_learning_rate(opt_state, lr)
+        losses = []
+        for batch in train_ds.batches(p.batch_size, seed=seed + epoch):
+            rng, step_rng = jax.random.split(rng)
+            variables, opt_state, loss = train_step(
+                variables, opt_state, step_rng,
+                jnp.asarray(batch.clips), jnp.asarray(batch.labels), batch.params.to_device(),
+            )
+            losses.append(float(loss))
+        train_loss = float(np.mean(losses)) if losses else float("nan")
+        sched.update(train_loss)
+        history["train_loss"].append(train_loss)
+
+        acc = float("nan")
+        if epoch in p.val_array or epoch == epochs:
+            acc = evaluate_action(eval_step, variables, val_items, p, decode_hw=decode_hw)
+            history["val_acc"].append(acc)
+            best.maybe_save(acc, epoch, {"ft_model_state_dict": variables})
+        save_temp(os.path.join(save_dir, p.run_id), "model", {"ft_model_state_dict": variables, "epoch": epoch + 1})
+        log_fn(
+            f"epoch {epoch}: lr {lr:.2e} loss {train_loss:.4f} acc {acc:.4f} ({time.time() - t0:.1f}s)"
+        )
+
+    return {"history": history, "best_acc": best.best, "best_path": best.best_path, "variables": variables}

@@ -1,0 +1,276 @@
+"""CORE STAGE — 3-model adversarial anonymization training (TeD-SPAD's contribution).
+
+Reference: anonymization_training/train_anonymizer.py (train_epoch:32, val_epoch_video:216,
+train_classifier:319). Alternating per-batch schedule:
+  - odd batches  ("step 1", :71-123): update **fa** with
+    ``loss_fa = -fb_w * NTXent(fb(fa(vispr pair))) + ft_w * (CE(ft(fa(anchor))) +
+    0.1 * Triplet(emb(anchor), emb(positive), emb(negative)))``
+    while fb/ft run frozen in eval mode;
+  - even batches ("step 2", :134-197): freeze fa (no_grad + eval), recompute both losses
+    and update **fb** (NT-Xent) and **ft** (CE + triplet) with their own optimizers.
+
+TPU redesign: two jitted SPMD programs (fa_step / fbft_step) the host alternates between.
+Freezing = eval-mode batch stats + ``stop_gradient`` instead of ``.eval()``/``no_grad()``;
+the fb+ft update runs as ONE fused backward over both parameter trees (losses are
+parameter-disjoint, so gradients are exact — and XLA overlaps both models' work).
+Mixed precision: bf16 compute replaces AMP autocast (:78, 151) with f32 loss reductions.
+
+NOTE on the reference's reshape quirk (:87-92): it feeds fa 3-slice *time* bundles on the
+already-permuted tensor rather than RGB frames (SURVEY.md §3.1 ⚠). We anonymize clean RGB
+frames; ``ops/temporal.scrambled_frame_view`` reproduces the quirk for A/B debugging.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ted_spad_tpu.config.params import AnonymizationParams
+from ted_spad_tpu.data.images import vispr_batches
+from ted_spad_tpu.data.videos import ClipDataset
+from ted_spad_tpu.models import load_fa_model, load_fb_model, load_ft_model
+from ted_spad_tpu.ops.augment import augment_batch
+from ted_spad_tpu.ops.losses import cross_entropy_loss, nt_xent_loss, triplet_margin_loss
+from ted_spad_tpu.stages.action_training import evaluate_action, make_eval_step
+from ted_spad_tpu.stages.common import make_optimizer, set_learning_rate
+from ted_spad_tpu.utils.checkpoint import BestCheckpointer, save_checkpoint, save_temp
+
+
+def _anon_frames(fa_model, fa_vars, video, train: bool, rng=None):
+    """fa over every frame of (B, V, T, h, w, C); returns same shape, f32."""
+    lead = video.shape[:-3]
+    frames = video.reshape((-1,) + video.shape[-3:])
+    kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
+    if train:
+        out, mutated = fa_model.apply(
+            fa_vars, frames, train=True, mutable=["batch_stats"], **kwargs
+        )
+        return out.reshape(lead + out.shape[-3:]), mutated
+    out = fa_model.apply(fa_vars, frames, train=False)
+    return out.reshape(lead + out.shape[-3:]), None
+
+
+def _ft_losses(ft_model, ft_vars, anon_clips, labels, p: AnonymizationParams, train: bool, rng=None):
+    """CE + weighted triplet over the anonymized (B, 3, T, h, w, C) views
+    (train_anonymizer.py:99-116). One batched ft forward over all views."""
+    b, v = anon_clips.shape[:2]
+    flat = anon_clips.reshape((b * v,) + anon_clips.shape[2:])
+    kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
+    if train:
+        (logits, emb), mutated = ft_model.apply(
+            ft_vars, flat, train=True, mutable=["batch_stats"], **kwargs
+        )
+    else:
+        logits, emb = ft_model.apply(ft_vars, flat, train=False)
+        mutated = None
+    logits = logits.reshape(b, v, -1)
+    emb = emb.reshape(b, v, -1)
+    loss_ce = cross_entropy_loss(logits[:, 0], labels)
+    loss_temporal = triplet_margin_loss(emb[:, 0], emb[:, 1], emb[:, 2], margin=p.triplet_loss_margin)
+    return loss_ce + p.temporal_loss_weight * loss_temporal, loss_temporal, mutated
+
+
+def _fb_loss(fb_model, fb_vars, anon_pair, p: AnonymizationParams, train: bool):
+    """NT-Xent over the two anonymized VISPR views (train_anonymizer.py:78-84)."""
+    if train:
+        z1, m1 = fb_model.apply(fb_vars, anon_pair[0], train=True, mutable=["batch_stats"])
+        z2, m2 = fb_model.apply({**fb_vars, **m1}, anon_pair[1], train=True, mutable=["batch_stats"])
+        mutated = m2
+    else:
+        z1 = fb_model.apply(fb_vars, anon_pair[0], train=False)
+        z2 = fb_model.apply(fb_vars, anon_pair[1], train=False)
+        mutated = None
+    return nt_xent_loss(z1, z2, p.nt_xent_temperature, p.nt_xent_cosine), mutated
+
+
+def make_fa_step(fa_model, fb_model, ft_model, opt_fa, p: AnonymizationParams) -> Callable:
+    @jax.jit
+    def fa_step(fa_vars, opt_state, fb_vars, ft_vars, rng, vispr1, vispr2, clips, labels):
+        def loss_fn(fa_params):
+            vars_in = {**fa_vars, "params": fa_params}
+            anon_v1, m1 = _anon_frames(fa_model, vars_in, vispr1[:, None], train=True)
+            anon_v2, m2 = _anon_frames(fa_model, {**vars_in, **m1}, vispr2[:, None], train=True)
+            loss_fb, _ = _fb_loss(fb_model, fb_vars, (anon_v1[:, 0], anon_v2[:, 0]), p, train=False)
+            anon_clips, m3 = _anon_frames(fa_model, {**vars_in, **m2}, clips, train=True)
+            loss_ft, loss_temporal, _ = _ft_losses(ft_model, ft_vars, anon_clips, labels, p, train=False)
+            loss_fa = -p.fb_loss_weight * loss_fb + p.ft_loss_weight * loss_ft
+            return loss_fa, (m3, loss_fb, loss_ft, loss_temporal)
+
+        (loss_fa, (mutated, loss_fb, loss_ft, loss_temporal)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(fa_vars["params"])
+        updates, opt_state = opt_fa.update(grads, opt_state, fa_vars["params"])
+        params = jax.tree_util.tree_map(lambda x, u: x + u, fa_vars["params"], updates)
+        new_fa = {**fa_vars, "params": params, **(mutated or {})}
+        return new_fa, opt_state, loss_fa, loss_fb, loss_ft, loss_temporal
+
+    return fa_step
+
+
+def make_fbft_step(fa_model, fb_model, ft_model, opt_fb, opt_ft, p: AnonymizationParams) -> Callable:
+    @jax.jit
+    def fbft_step(
+        fa_vars, fb_vars, ft_vars, opt_fb_state, opt_ft_state, rng, vispr1, vispr2, clips, labels
+    ):
+        # Frozen fa (eval + stop_gradient), train_anonymizer.py:142-148.
+        anon_v1, _ = _anon_frames(fa_model, fa_vars, vispr1[:, None], train=False)
+        anon_v2, _ = _anon_frames(fa_model, fa_vars, vispr2[:, None], train=False)
+        anon_clips, _ = _anon_frames(fa_model, fa_vars, clips, train=False)
+        anon_v1, anon_v2, anon_clips = map(jax.lax.stop_gradient, (anon_v1, anon_v2, anon_clips))
+
+        def loss_fn(both_params):
+            fb_in = {**fb_vars, "params": both_params["fb"]}
+            ft_in = {**ft_vars, "params": both_params["ft"]}
+            loss_fb, m_fb = _fb_loss(fb_model, fb_in, (anon_v1[:, 0], anon_v2[:, 0]), p, train=True)
+            loss_ft, loss_temporal, m_ft = _ft_losses(
+                ft_model, ft_in, anon_clips, labels, p, train=True, rng=rng
+            )
+            # Parameter-disjoint sum: d(loss)/d(fb) == d(loss_fb)/d(fb), same for ft —
+            # one backward drives both optimizers (separate backwards in the reference,
+            # train_anonymizer.py:186-190).
+            return loss_fb + loss_ft, (m_fb, m_ft, loss_fb, loss_ft, loss_temporal)
+
+        both = {"fb": fb_vars["params"], "ft": ft_vars["params"]}
+        (_, (m_fb, m_ft, loss_fb, loss_ft, loss_temporal)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(both)
+        up_fb, opt_fb_state = opt_fb.update(grads["fb"], opt_fb_state, fb_vars["params"])
+        up_ft, opt_ft_state = opt_ft.update(grads["ft"], opt_ft_state, ft_vars["params"])
+        new_fb = {**fb_vars, "params": jax.tree_util.tree_map(lambda x, u: x + u, fb_vars["params"], up_fb), **(m_fb or {})}
+        new_ft = {**ft_vars, "params": jax.tree_util.tree_map(lambda x, u: x + u, ft_vars["params"], up_ft), **(m_ft or {})}
+        return new_fb, new_ft, opt_fb_state, opt_ft_state, loss_fb, loss_ft, loss_temporal
+
+    return fbft_step
+
+
+def train_anonymizer(
+    p: AnonymizationParams,
+    *,
+    train_items,
+    val_items,
+    vispr_source,
+    save_dir: str = "saved_models",
+    max_epochs: int | None = None,
+    decode_hw: tuple[int, int] = (0, 0),
+    log_fn: Callable[[str], None] = print,
+    seed: int = 0,
+) -> dict[str, Any]:
+    """Stage driver (train_anonymizer.py:319-555)."""
+    fa_model, fa_vars = load_fa_model(
+        p.saved_model_fa, arch=p.arch_fa, image_size=(p.reso_h, p.reso_w), dtype=p.compute_dtype
+    )
+    ft_model, ft_vars = load_ft_model(
+        p.arch_ft, p.saved_model_ft, num_classes=p.num_classes,
+        clip_shape=(p.num_frames, p.reso_h, p.reso_w), dtype=p.compute_dtype,
+    )
+    fb_model, fb_vars = load_fb_model(
+        p.arch_fb, p.saved_model_fb, num_pa=p.num_pa, ssl=True,
+        image_size=(p.reso_h, p.reso_w), dtype=p.compute_dtype,
+    )
+
+    # 3 optimizers with scaled LRs (train_anonymizer.py:377-388; params :55-57).
+    opt_fa = make_optimizer(p.opt_type, p.learning_rate_fa, p.weight_decay)
+    opt_fb = make_optimizer(p.opt_type, p.learning_rate_fb, p.weight_decay)
+    opt_ft = make_optimizer(p.opt_type, p.learning_rate_ft, p.weight_decay)
+    st_fa, st_fb, st_ft = (opt_fa.init(fa_vars["params"]), opt_fb.init(fb_vars["params"]), opt_ft.init(ft_vars["params"]))
+
+    fa_step = make_fa_step(fa_model, fb_model, ft_model, opt_fa, p)
+    fbft_step = make_fbft_step(fa_model, fb_model, ft_model, opt_fb, opt_ft, p)
+    ft_eval = make_eval_step(ft_model, p, fa=(fa_model, fa_vars))
+
+    video_ds = ClipDataset(
+        train_items, p, views=3, data_percentage=p.data_percentage,
+        decode_w=decode_hw[1], decode_h=decode_hw[0], seed=seed,
+    )
+    best = BestCheckpointer(
+        os.path.join(save_dir, p.run_id), "model", mode="max", threshold=p.save_acc_threshold
+    )
+    rng = jax.random.PRNGKey(seed)
+    epochs = max_epochs or p.num_epochs
+    history = {"loss_fa": [], "loss_fb": [], "loss_ft": [], "loss_temporal": [], "val_acc": []}
+
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        # Cosine LR arrays per model (train_anonymizer.py:432-450 via params arrays).
+        arr = p.cosine_lr_array
+        scale = arr[min(epoch - 1, len(arr) - 1)]
+        st_fa = set_learning_rate(st_fa, scale * p.learning_rate_fa)
+        st_fb = set_learning_rate(st_fb, scale * p.learning_rate_fb)
+        st_ft = set_learning_rate(st_ft, scale * p.learning_rate_ft)
+
+        vispr_it = vispr_batches(
+            vispr_source, p.batch_size_vispr, train=True, ssl=True,
+            out_h=p.reso_h, out_w=p.reso_w, seed=seed + epoch,
+        )
+        video_it = video_ds.batches(p.batch_size, seed=seed + epoch)
+        step = 1
+        ep_losses = {"fa": [], "fb": [], "ft": [], "temporal": []}
+        for vispr_b, video_b in zip(vispr_it, video_it):
+            rng, k1, k2 = jax.random.split(rng, 3)
+            # Device-side augmentation for both modalities.
+            v_imgs = jnp.asarray(vispr_b.images)
+            v1 = augment_batch(v_imgs[:, None], vispr_b.params.to_device(), p.reso_h, p.reso_w)[:, 0]
+            v2 = augment_batch(v_imgs[:, None], vispr_b.params2.to_device(), p.reso_h, p.reso_w)[:, 0]
+            b, v = video_b.clips.shape[:2]
+            flat = jnp.asarray(video_b.clips).reshape((b * v,) + video_b.clips.shape[2:])
+            clips = augment_batch(flat, video_b.params.to_device(), p.reso_h, p.reso_w)
+            clips = clips.reshape((b, v) + clips.shape[1:])
+            labels = jnp.asarray(video_b.labels)
+
+            if step == 1:
+                fa_vars, st_fa, lfa, lfb, lft, ltemp = fa_step(
+                    fa_vars, st_fa, fb_vars, ft_vars, k1, v1, v2, clips, labels
+                )
+                ep_losses["fa"].append(float(lfa))
+                step = 2
+            else:
+                fb_vars, ft_vars, st_fb, st_ft, lfb, lft, ltemp = fbft_step(
+                    fa_vars, fb_vars, ft_vars, st_fb, st_ft, k2, v1, v2, clips, labels
+                )
+                ep_losses["fb"].append(float(lfb))
+                ep_losses["ft"].append(float(lft))
+                ep_losses["temporal"].append(float(ltemp))
+                step = 1
+
+        for k in ("fa", "fb", "ft", "temporal"):
+            history[f"loss_{k}"].append(float(np.mean(ep_losses[k])) if ep_losses[k] else float("nan"))
+
+        acc = float("nan")
+        if epoch in p.val_array or epoch == epochs:
+            ft_eval = make_eval_step(ft_model, p, fa=(fa_model, fa_vars))  # fresh fa snapshot
+            acc = evaluate_action(ft_eval, ft_vars, val_items, p, decode_hw=decode_hw)
+            history["val_acc"].append(acc)
+            best.maybe_save(
+                acc, epoch,
+                {"fa_model_state_dict": fa_vars, "fb_model_state_dict": fb_vars, "ft_model_state_dict": ft_vars},
+            )
+        payload = {
+            "fa_model_state_dict": fa_vars,
+            "fb_model_state_dict": fb_vars,
+            "ft_model_state_dict": ft_vars,
+            "epoch": epoch + 1,
+        }
+        save_temp(os.path.join(save_dir, p.run_id), "model", payload)
+        if epoch % 3 == 0:  # optimizer states every 3rd epoch (train_anonymizer.py:539-550)
+            save_checkpoint(
+                os.path.join(save_dir, p.run_id, f"model_{epoch}_full.ckpt"),
+                {**payload, "opt_fa": st_fa, "opt_fb": st_fb, "opt_ft": st_ft},
+            )
+        log_fn(
+            f"epoch {epoch}: fa {history['loss_fa'][-1]:.4f} fb {history['loss_fb'][-1]:.4f} "
+            f"ft {history['loss_ft'][-1]:.4f} acc {acc:.4f} ({time.time() - t0:.1f}s)"
+        )
+
+    return {
+        "history": history,
+        "best_acc": best.best,
+        "best_path": best.best_path,
+        "fa_variables": fa_vars,
+        "fb_variables": fb_vars,
+        "ft_variables": ft_vars,
+    }

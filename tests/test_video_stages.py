@@ -1,0 +1,117 @@
+"""Video clip samplers + action and adversarial-anonymization stage e2e on synthetic
+videos (SURVEY.md §4 strategy)."""
+
+import numpy as np
+import pytest
+
+from ted_spad_tpu.config.params import ActionParams, AnonymizationParams
+from ted_spad_tpu.data.videos import (
+    ClipDataset,
+    ValClipDataset,
+    sample_train_clip,
+    sample_triplet_clips,
+    synthetic_video_items,
+    val_clip_indices,
+)
+
+
+class TestClipSamplers:
+    def test_train_clip_strided(self, rng):
+        idx = sample_train_clip(rng, frame_count=200, num_frames=16, fix_skip=2)
+        assert len(idx) == 16
+        assert np.all(np.diff(idx) == 2)
+        assert idx[-1] < 200
+
+    def test_short_video_halves_skip(self, rng):
+        # frame_count < fix_skip*num_frames -> skip halves (ucf101_dl.py:76-80).
+        idx = sample_train_clip(rng, frame_count=20, num_frames=16, fix_skip=2)
+        assert len(idx) == 16
+        assert idx[-1] <= 19
+
+    def test_triplet_positive_shares_frames(self, rng):
+        a, pos, neg = sample_triplet_clips(rng, 300, 16, 2)
+        np.testing.assert_array_equal(a, pos)  # temporal_align forced for trip
+        assert len(neg) == 16
+
+    def test_triplet_fixed_temporal_distance(self, rng):
+        a, _, neg = sample_triplet_clips(rng, 500, 16, 2, temporal_distance=30)
+        assert neg[0] == a[0] + 2 * 15 + 30  # start + skip*(n-1) + distance
+
+    def test_val_modes_deterministic_and_ordered(self):
+        starts = [val_clip_indices(300, 16, 2, m, 5)[0] for m in range(5)]
+        assert starts == sorted(starts)
+        assert val_clip_indices(300, 16, 2, 0, 5)[0] == 0
+
+
+class TestClipDatasets:
+    def _params(self):
+        return ActionParams(num_frames=4, fix_skip=2, reso_h=32, reso_w=32, num_classes=5, num_modes=2)
+
+    def test_train_batches_single_view(self):
+        items = synthetic_video_items(8, 5, num_frames=40, h=48, w=64)
+        ds = ClipDataset(items, self._params(), views=1)
+        b = next(iter(ds.batches(4, seed=0)))
+        assert b.clips.shape == (4, 1, 4, 48, 64, 3)
+        assert b.clips.dtype == np.uint8
+        assert b.params is not None
+
+    def test_train_batches_triplet_views_share_crop(self):
+        items = synthetic_video_items(8, 5, num_frames=40, h=48, w=64)
+        ds = ClipDataset(items, self._params(), views=3)
+        b = next(iter(ds.batches(4, seed=0)))
+        assert b.clips.shape == (4, 3, 4, 48, 64, 3)
+        y0 = b.params.y0.reshape(4, 3)
+        np.testing.assert_array_equal(y0[:, 0], y0[:, 1])  # shared crop origin
+
+    def test_val_batches(self):
+        items = synthetic_video_items(6, 5, num_frames=40, h=48, w=64)
+        ds = ValClipDataset(items, self._params(), mode=1)
+        batches = list(ds.batches(4))
+        assert sum(b.clips.shape[0] for b in batches) == 6
+        assert batches[0].indices is not None
+
+
+@pytest.mark.slow
+def test_action_stage_e2e(tmp_path):
+    from ted_spad_tpu.stages.action_training import train_action
+
+    p = ActionParams(
+        run_id="act_test", arch="largei3d", num_classes=4, num_frames=8,
+        reso_h=32, reso_w=32, batch_size=4, v_batch_size=4, num_modes=2,
+        cropping_facs=(0.8,), temporal_loss="trip", learning_rate=1e-3,
+        compute_dtype="float32", lr_scheduler="cosine", num_epochs=2,
+    )
+    train_items = synthetic_video_items(12, 4, num_frames=40, h=48, w=64, seed=0)
+    val_items = synthetic_video_items(8, 4, num_frames=40, h=48, w=64, seed=1)
+    res = train_action(
+        p, train_items=train_items, val_items=val_items, save_dir=str(tmp_path),
+        max_epochs=2, log_fn=lambda s: None,
+    )
+    assert np.isfinite(res["history"]["train_loss"]).all()
+    assert 0.0 <= res["history"]["val_acc"][-1] <= 1.0
+
+
+@pytest.mark.slow
+def test_anonymization_stage_e2e(tmp_path):
+    from ted_spad_tpu.data.images import SyntheticImageSource
+    from ted_spad_tpu.stages.anonymization_training import train_anonymizer
+
+    p = AnonymizationParams(
+        run_id="anon_test", num_classes=4, num_frames=8, reso_h=32, reso_w=32,
+        batch_size=2, batch_size_vispr=4, v_batch_size=2, num_modes=2,
+        cropping_facs=(0.8,), compute_dtype="float32", num_epochs=2,
+        save_acc_threshold=-1.0,  # tiny run: always allow best-save
+    )
+    train_items = synthetic_video_items(8, 4, num_frames=40, h=48, w=64, seed=0)
+    val_items = synthetic_video_items(4, 4, num_frames=40, h=48, w=64, seed=1)
+    vispr = SyntheticImageSource(n=16, canonical=64)
+    res = train_anonymizer(
+        p, train_items=train_items, val_items=val_items, vispr_source=vispr,
+        save_dir=str(tmp_path), max_epochs=2, log_fn=lambda s: None,
+    )
+    h = res["history"]
+    # Both alternating steps must have produced finite losses.
+    assert np.isfinite(h["loss_fa"]).all(), h
+    assert np.isfinite(h["loss_fb"]).all(), h
+    assert np.isfinite(h["loss_ft"]).all(), h
+    assert res["best_path"] is not None  # threshold disabled -> best saved
