@@ -1,0 +1,214 @@
+"""Feature extraction — the throughput-critical stage (BASELINE.json north star).
+
+Reference: feature_extraction/dali_extraction.py (DALI GPU decode, batch_size=1 clip,
+:103-182) and st_feature_extraction.py (cv2 sequential loop). Windowing: 16-frame clips at
+stride 2, non-overlapping step 32 (dali_extraction.py:72-73); val transform /255 +
+center-crop 0.8 + resize 224 (:38-50); frozen fa per-frame then ft.extract_features ->
+2048-d per clip, vstacked to a per-video ``.npy`` (:168-182); resume by skipping existing
+files (:121).
+
+TPU redesign (why this beats one-clip-at-a-time DALI):
+  - host C++ decode threads (native/videodec) run ahead of the device, packing clips from
+    MULTIPLE videos into large fixed-shape batches — the MXU sees (B, 16, 224, 224, 3)
+    bf16 work instead of the reference's batch_size=1 (params_feature_ex.py:4);
+  - preprocessing (normalize/crop/resize) + fa + ft fuse into ONE jitted XLA program, so
+    intermediate frames never round-trip HBM<->host;
+  - dispatch is async: the host assembles batch N+1 while the device computes batch N
+    (double buffering for free through JAX's dispatch queue);
+  - multi-chip: the video list is sharded per process (dali_extraction.py:63-64's
+    num_shards/shard_id equivalent) and the clip batch is sharded over local chips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ted_spad_tpu.config.params import FeatureExtractionParams
+from ted_spad_tpu.data.video_reader import open_video
+from ted_spad_tpu.models import load_fa_model, load_ft_model
+from ted_spad_tpu.ops.augment import center_crop_resize
+
+
+@dataclasses.dataclass
+class ClipRef:
+    video_idx: int
+    clip_idx: int
+
+
+def video_clip_starts(num_frames_total: int, num_frames: int, stride: int, step: int) -> list[int]:
+    """Non-overlapping window starts: 0, step, 2*step... while a full strided clip fits;
+    videos shorter than one clip still produce one (pad_last_batch/last-frame repeat,
+    dali_extraction.py:66-76; shanghai_dl.py:84-94)."""
+    span = (num_frames - 1) * stride + 1
+    starts = list(range(0, max(num_frames_total - span + 1, 1), step))
+    return starts
+
+
+def iter_clip_batches(
+    video_uris: Sequence[str],
+    p: FeatureExtractionParams,
+    batch_size: int,
+    *,
+    decode_hw: tuple[int, int] = (240, 320),
+    num_workers: int = 8,
+) -> Iterator[tuple[np.ndarray, list[ClipRef], dict[int, int]]]:
+    """Stream (batch_size, T, H, W, 3) uint8 clip batches packed across videos.
+
+    Yields (clips, refs, clip_counts) where refs map batch rows to (video, clip) and
+    clip_counts gives each video's total clips (known once its decode finishes). The last
+    batch is padded by repeating the final clip (rows beyond refs are padding).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    clip_counts: dict[int, int] = {}
+
+    def decode_video(vi: int):
+        uri = video_uris[vi]
+        vr = open_video(uri, decode_hw[1], decode_hw[0])
+        starts = video_clip_starts(len(vr), p.num_frames, p.clip_stride, p.clip_step)
+        clips = []
+        for ci, s in enumerate(starts):
+            clips.append((ClipRef(vi, ci), vr.read_strided(s, p.num_frames, p.clip_stride)))
+        vr.close()
+        return vi, clips
+
+    pool = ThreadPoolExecutor(num_workers)
+    pending = pool.map(decode_video, range(len(video_uris)))
+    buf_clips: list[np.ndarray] = []
+    buf_refs: list[ClipRef] = []
+    for vi, clips in pending:
+        clip_counts[vi] = len(clips)
+        for ref, clip in clips:
+            buf_refs.append(ref)
+            buf_clips.append(clip)
+            if len(buf_clips) == batch_size:
+                yield np.stack(buf_clips), list(buf_refs), dict(clip_counts)
+                buf_clips, buf_refs = [], []
+    if buf_clips:
+        refs = list(buf_refs)
+        while len(buf_clips) < batch_size:
+            buf_clips.append(buf_clips[-1])
+        yield np.stack(buf_clips), refs, dict(clip_counts)
+
+
+def make_extract_step(ft_model, p: FeatureExtractionParams, fa=None) -> Callable:
+    """One fused program: /255 + center-crop + resize + (frozen fa) + ft features."""
+
+    @jax.jit
+    def extract(ft_vars, clips_u8):
+        img = clips_u8.astype(jnp.float32) / 255.0
+        img = center_crop_resize(img, p.cropping_factor, p.reso_h, p.reso_w,
+                                 no_ar_distortion=p.no_ar_distortion)
+        if fa is not None:
+            fa_model, fa_vars = fa
+            lead = img.shape[:-3]
+            frames = img.reshape((-1,) + img.shape[-3:])
+            anon = fa_model.apply(fa_vars, frames, train=False)
+            img = anon.reshape(lead + anon.shape[-3:])
+        return ft_model.apply(ft_vars, img, train=False, method="extract_features")
+
+    return extract
+
+
+def extract_features(
+    p: FeatureExtractionParams,
+    video_uris: Sequence[str],
+    save_dir: str,
+    *,
+    fa_variables: Any | None = None,
+    ft_variables: Any | None = None,
+    batch_size: int | None = None,
+    decode_hw: tuple[int, int] = (240, 320),
+    shard_id: int = 0,
+    num_shards: int = 1,
+    log_fn: Callable[[str], None] = print,
+) -> dict[str, Any]:
+    """Stage driver. Returns {video_uri: saved_path} plus throughput stats.
+
+    Sharding: shard ``video_uris`` round-robin per process (DALI num_shards/shard_id
+    equivalent, dali_extraction.py:63-64). Resume: existing ``.npy`` skipped (:121)."""
+    os.makedirs(save_dir, exist_ok=True)
+    uris = [u for i, u in enumerate(video_uris) if i % num_shards == shard_id]
+
+    def out_path(uri: str) -> str:
+        base = os.path.basename(uri).rsplit(".", 1)[0].replace("synthetic://", "synth_").replace(
+            ",", "_"
+        ).replace("=", "")
+        return os.path.join(save_dir, base + ".npy")
+
+    uris = [u for u in uris if not os.path.exists(out_path(u))]
+    if not uris:
+        return {"saved": {}, "clips": 0, "elapsed_s": 0.0, "clips_per_sec": 0.0}
+
+    fa = None
+    if p.anonymized:
+        fa_model, fa_vars = load_fa_model(
+            p.saved_model_fa, image_size=(p.reso_h, p.reso_w), dtype=p.compute_dtype
+        )
+        if fa_variables is not None:
+            fa_vars = fa_variables
+        fa = (fa_model, fa_vars)
+    ft_model, ft_vars = load_ft_model(
+        p.arch_ft, p.saved_model_ft, num_classes=p.num_classes,
+        clip_shape=(p.num_frames, p.reso_h, p.reso_w), dtype=p.compute_dtype,
+    )
+    if ft_variables is not None:
+        ft_vars = ft_variables
+    extract = make_extract_step(ft_model, p, fa)
+
+    bs = batch_size or max(p.batch_size, 1)
+    acc: dict[int, dict[int, np.ndarray]] = {}
+    counts: dict[int, int] = {}
+    saved: dict[str, str] = {}
+    n_clips = 0
+    t0 = time.time()
+    inflight: list[tuple[Any, list[ClipRef]]] = []
+
+    def drain(entry):
+        nonlocal n_clips
+        feats, refs = entry
+        feats = np.asarray(feats)  # blocks; device already moved on to the next batch
+        for row, ref in enumerate(refs):
+            acc.setdefault(ref.video_idx, {})[ref.clip_idx] = feats[row]
+            n_clips += 1
+        for vi in list(acc):
+            if vi in counts and len(acc[vi]) == counts[vi]:
+                feat = np.stack([acc[vi][c] for c in range(counts[vi])])
+                path = out_path(uris[vi])
+                np.save(path, feat)
+                saved[uris[vi]] = path
+                del acc[vi]
+
+    for clips, refs, clip_counts in iter_clip_batches(
+        uris, p, bs, decode_hw=decode_hw
+    ):
+        counts.update(clip_counts)
+        # Async dispatch: enqueue this batch, then drain the previous one while the
+        # device works (double buffering through the JAX dispatch queue).
+        feats = extract(ft_vars, jnp.asarray(clips))
+        inflight.append((feats, refs))
+        if len(inflight) > 1:
+            drain(inflight.pop(0))
+    while inflight:
+        drain(inflight.pop(0))
+    # Flush any videos whose counts arrived after their clips.
+    for vi in list(acc):
+        if vi in counts and len(acc[vi]) == counts[vi]:
+            feat = np.stack([acc[vi][c] for c in range(counts[vi])])
+            path = out_path(uris[vi])
+            np.save(path, feat)
+            saved[uris[vi]] = path
+            del acc[vi]
+
+    elapsed = time.time() - t0
+    log_fn(f"extracted {n_clips} clips from {len(saved)} videos in {elapsed:.1f}s "
+           f"({n_clips / max(elapsed, 1e-9):.2f} clips/s)")
+    return {"saved": saved, "clips": n_clips, "elapsed_s": elapsed,
+            "clips_per_sec": n_clips / max(elapsed, 1e-9)}
