@@ -69,13 +69,13 @@ def main() -> None:
         return ft_model.apply(ft_vars, img, train=False, method="extract_features")
 
     ft_fwd(fa_fwd(prep(one_clip))).block_until_ready()  # compile
-    n_ref = 6
+    n_ref = 12
     t0 = time.perf_counter()
     for _ in range(n_ref):
-        # Host round-trips between stages, like the torch loop's python boundaries.
-        a = np.asarray(fa_fwd(prep(one_clip)))
-        f = ft_fwd(jnp.asarray(a))
-    f.block_until_ready()
+        # Separate programs with device-resident handoff (the torch loop chains
+        # fa -> ft on-device too; only the python/kernel boundaries differ).
+        f = ft_fwd(fa_fwd(prep(one_clip)))
+        f.block_until_ready()  # batch=1 sync per clip, like the reference's per-step loop
     ref_style = n_ref / (time.perf_counter() - t0)
 
     print(

@@ -1,0 +1,53 @@
+"""Shared CLI scaffolding for the stage entry scripts.
+
+Mirrors the reference's script conventions (``python <script> --params f.py --run_id id
+--devices N``, train_anonymizer.py:557-573) and adds ``--synthetic`` so every stage runs
+end-to-end on in-memory data (SURVEY.md §4 test strategy, promoted to a first-class CLI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# Allow running from a source checkout without installation.
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=description)
+    ap.add_argument("--params", type=str, default=None,
+                    help="reference-style params_*.py overlay (importlib-loaded)")
+    ap.add_argument("--run_id", type=str, default=None)
+    ap.add_argument("--epochs", type=int, default=None, help="override num_epochs")
+    ap.add_argument("--save_dir", type=str, default="saved_models")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="run on synthetic in-memory data (no datasets needed)")
+    ap.add_argument("--cpu", action="store_true", help="force CPU platform")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="virtual CPU device count (0 = real devices)")
+    ap.add_argument("--seed", type=int, default=0)
+    return ap
+
+
+def setup_platform(args) -> None:
+    """Must run before any jax backend touch."""
+    if args.devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (flags + f" --xla_force_host_platform_device_count={args.devices}").strip()
+        args.cpu = True
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def finalize_params(p, args):
+    from ted_spad_tpu.config.params import apply_params_file
+
+    p = apply_params_file(p, args.params)
+    if args.run_id:
+        p = p.replace(run_id=args.run_id)
+    return p

@@ -1,0 +1,57 @@
+"""Feature-extraction entry point (reference: feature_extraction/dali_extraction.py +
+st_feature_extraction.py).
+
+Synthetic: ``python scripts/extract_features.py --synthetic --cpu``.
+File-backed: --videos_glob 'path/*/*.mp4' (+ --saved_model_fa/--saved_model_ft).
+Multi-host: --shard_id/--num_shards split the list (DALI sharding equivalent).
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+from scripts._common import base_parser, finalize_params, setup_platform
+
+
+def main() -> None:
+    ap = base_parser(__doc__)
+    ap.add_argument("--videos_glob", type=str, default=None)
+    ap.add_argument("--out_dir", type=str, default="features")
+    ap.add_argument("--saved_model_fa", type=str, default=None)
+    ap.add_argument("--saved_model_ft", type=str, default=None)
+    ap.add_argument("--raw", action="store_true", help="skip anonymization (raw features)")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--shard_id", type=int, default=0)
+    ap.add_argument("--num_shards", type=int, default=1)
+    args = ap.parse_args()
+    setup_platform(args)
+
+    from ted_spad_tpu.config.params import FeatureExtractionParams
+    from ted_spad_tpu.stages.feature_extraction import extract_features
+
+    p = finalize_params(FeatureExtractionParams(), args)
+    p = p.replace(
+        saved_model_fa=args.saved_model_fa, saved_model_ft=args.saved_model_ft,
+        anonymized=not args.raw,
+    )
+    if args.synthetic:
+        p = p.replace(num_frames=8, reso_h=32, reso_w=32, compute_dtype="float32")
+        uris = [f"synthetic://n=120,h=48,w=64,seed={i}" for i in range(4)]
+        decode_hw = (48, 64)
+    else:
+        import glob as _glob
+
+        assert args.videos_glob, "pass --videos_glob or --synthetic"
+        uris = sorted(_glob.glob(args.videos_glob))
+        decode_hw = (240, 320)
+
+    res = extract_features(
+        p, uris, args.out_dir, batch_size=args.batch, decode_hw=decode_hw,
+        shard_id=args.shard_id, num_shards=args.num_shards,
+    )
+    print(f"done; {res['clips']} clips @ {res['clips_per_sec']:.2f} clips/s")
+
+
+if __name__ == "__main__":
+    main()
