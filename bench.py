@@ -69,7 +69,7 @@ def main() -> None:
         return ft_model.apply(ft_vars, img, train=False, method="extract_features")
 
     ft_fwd(fa_fwd(prep(one_clip))).block_until_ready()  # compile
-    n_ref = 12
+    n_ref = 4
     t0 = time.perf_counter()
     for _ in range(n_ref):
         # Separate programs with device-resident handoff (the torch loop chains

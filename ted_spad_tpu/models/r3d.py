@@ -31,8 +31,8 @@ class BasicBlock3D(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         s = (self.stride,) * 3
         residual = x
-        out = ConvBN(self.planes, (3, 3, 3), s, dtype=self.dtype, name="conv1")(x, train)
-        out = ConvBN(self.planes, (3, 3, 3), act=False, dtype=self.dtype, name="conv2")(out, train)
+        out = ConvBN(self.planes, (3, 3, 3), s, padding=[(1, 1)] * 3, dtype=self.dtype, name="conv1")(x, train)
+        out = ConvBN(self.planes, (3, 3, 3), padding=[(1, 1)] * 3, act=False, dtype=self.dtype, name="conv2")(out, train)
         if self.downsample:
             residual = ConvBN(self.planes, (1, 1, 1), s, act=False, dtype=self.dtype, name="downsample")(
                 x, train

@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ted_spad_tpu.models.layers import ConvBN, global_avg_pool, max_pool_same
+from ted_spad_tpu.models.layers import ConvBN, global_avg_pool
 from ted_spad_tpu.ops.losses import l2_normalize
 
 Array = jax.Array
@@ -35,8 +35,8 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         residual = x
-        out = ConvBN(self.planes, (3, 3), (self.stride, self.stride), dtype=self.dtype, name="conv1")(x, train)
-        out = ConvBN(self.planes, (3, 3), act=False, dtype=self.dtype, name="conv2")(out, train)
+        out = ConvBN(self.planes, (3, 3), (self.stride, self.stride), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv1")(x, train)
+        out = ConvBN(self.planes, (3, 3), padding=[(1, 1), (1, 1)], act=False, dtype=self.dtype, name="conv2")(out, train)
         if self.downsample:
             residual = ConvBN(
                 self.planes, (1, 1), (self.stride, self.stride), act=False, dtype=self.dtype, name="downsample"
@@ -56,7 +56,7 @@ class Bottleneck2D(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         residual = x
         out = ConvBN(self.planes, (1, 1), dtype=self.dtype, name="conv1")(x, train)
-        out = ConvBN(self.planes, (3, 3), (self.stride, self.stride), dtype=self.dtype, name="conv2")(out, train)
+        out = ConvBN(self.planes, (3, 3), (self.stride, self.stride), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv2")(out, train)
         out = ConvBN(self.planes * 4, (1, 1), act=False, dtype=self.dtype, name="conv3")(out, train)
         if self.downsample:
             residual = ConvBN(
@@ -87,8 +87,12 @@ class ResNet2D(nn.Module):
         feats.append(x)
         if self.depth < 2:
             return feats
-        # torchvision maxpool k3 s2 pad 1 == TF-SAME here (even input sizes).
-        x = max_pool_same(x, (3, 3), (2, 2))
+        # torchvision maxpool k3 s2 pad=1 (symmetric) — NOT TF-SAME, which pads only on
+        # the trailing edge for even sizes; symmetric padding is required for pretrained
+        # ImageNet weight parity.
+        neg = jnp.finfo(x.dtype).min
+        x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], constant_values=neg)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
 
         inplanes = 64
         for stage, (planes, n_blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
