@@ -215,6 +215,13 @@ def vispr_batches(
         yield ImageBatch(images, labels, p1, p2)
 
 
+def boring_video_batch(images: np.ndarray, num_frames: int) -> np.ndarray:
+    """vispr_boring_dataset (vispr_dl.py:255-308): each image repeated ``num_frames``x as a
+    static video — (B, S, S, 3) -> (B, T, S, S, 3). Lets image sets stand in for video
+    batches when probing ft with still content."""
+    return np.repeat(images[:, None], num_frames, axis=1)
+
+
 class ReconstructionSource:
     """fa-pretraining mix: UCF101 frame jpgs + VISPR jpgs in one pool
     (reconstruction_dl.py:20-41). File-backed variant takes explicit path lists; the
