@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from ted_spad_tpu.models.i3d import InceptionI3d
 from ted_spad_tpu.models.i3res50 import I3Res50, MlpHead, WrapperI3D
 from ted_spad_tpu.models.mgfn import MGFN
+from ted_spad_tpu.models.mvit import MViTv2S
 from ted_spad_tpu.models.r3d import R3D18
 from ted_spad_tpu.models.resnet2d import ResNet2D, ResNet50Classifier, ResNet50SSL
 from ted_spad_tpu.models.unet import UNet, UNetPlusPlus
@@ -27,6 +28,7 @@ __all__ = [
     "MlpHead",
     "WrapperI3D",
     "MGFN",
+    "MViTv2S",
     "R3D18",
     "ResNet2D",
     "ResNet50Classifier",
@@ -96,7 +98,7 @@ def load_ft_model(
     elif arch == "r3d_18":
         model = R3D18(num_classes=num_classes, dtype=_dtype(dtype))
     elif arch == "mvitv2":
-        raise NotImplementedError("mvitv2 ft arch lands in a later round")
+        model = MViTv2S(num_classes=num_classes, dtype=_dtype(dtype))
     else:
         raise ValueError(
             f"Architecture {arch!r} invalid for ft_model. Try 'i3d', 'largei3d', 'mvitv2', or 'r3d_18'"
