@@ -98,14 +98,30 @@ def iter_clip_batches(
         yield np.stack(buf_clips), refs, dict(clip_counts)
 
 
-def make_extract_step(ft_model, p: FeatureExtractionParams, fa=None) -> Callable:
-    """One fused program: /255 + center-crop + resize + (frozen fa) + ft features."""
+def make_extract_step(
+    ft_model, p: FeatureExtractionParams, fa=None, use_pallas: bool | None = None
+) -> Callable:
+    """One fused program: /255 + center-crop + resize + (frozen fa) + ft features.
+
+    ``use_pallas`` selects the Pallas matmul-resample preprocessing kernel
+    (ops/pallas_preprocess.py) — default on TPU backends, XLA path elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
 
     @jax.jit
     def extract(ft_vars, clips_u8):
-        img = clips_u8.astype(jnp.float32) / 255.0
-        img = center_crop_resize(img, p.cropping_factor, p.reso_h, p.reso_w,
-                                 no_ar_distortion=p.no_ar_distortion)
+        if use_pallas and not p.no_ar_distortion:
+            from ted_spad_tpu.ops.pallas_preprocess import fused_preprocess
+
+            img = fused_preprocess(
+                clips_u8, out_h=p.reso_h, out_w=p.reso_w,
+                cropping_factor=p.cropping_factor,
+                out_dtype=jnp.dtype(p.compute_dtype),
+            ).astype(jnp.float32)
+        else:
+            img = clips_u8.astype(jnp.float32) / 255.0
+            img = center_crop_resize(img, p.cropping_factor, p.reso_h, p.reso_w,
+                                     no_ar_distortion=p.no_ar_distortion)
         if fa is not None:
             fa_model, fa_vars = fa
             lead = img.shape[:-3]
