@@ -60,7 +60,8 @@ def resize_matrix(
 
 
 def _preprocess_kernel(img_ref, ry_ref, rxt_ref, out_ref):
-    img = img_ref[0].astype(jnp.float32)  # (H_src, W_src) u8 plane -> f32
+    # Mosaic has no direct u8->f32 cast; hop through int32 (free on the VPU).
+    img = img_ref[0].astype(jnp.int32).astype(jnp.float32)  # (H_src, W_src) plane
     tmp = jnp.dot(ry_ref[:], img, preferred_element_type=jnp.float32)  # (H_dst, W_src)
     out = jnp.dot(tmp, rxt_ref[:], preferred_element_type=jnp.float32)  # (H_dst, W_dst)
     out_ref[0] = out.astype(out_ref.dtype)
