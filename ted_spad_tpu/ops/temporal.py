@@ -11,6 +11,27 @@ from __future__ import annotations
 import numpy as np
 
 
+def scrambled_frame_view(video: np.ndarray) -> np.ndarray:
+    """Reproduce the reference's fa-input layout quirk for A/B debugging (SURVEY.md §3.1 ⚠).
+
+    train_anonymizer.py:87-92 permutes video to (B, C, T, H, W) and then reshapes to
+    (B*T, C, H, W) *on the permuted tensor*, so each pseudo-image fed to fa holds 3
+    consecutive same-channel time slices instead of an RGB frame. Given channels-last
+    ``(B, T, H, W, C)`` video with T divisible by 3, returns the equivalent
+    ``(B * T, H, W, 3)`` pseudo-frame batch: pseudo-frame k of sample b stacks channel
+    ``k // T`` at times ``(3m, 3m+1, 3m+2)`` where ``m = k % T_groups`` — i.e. the
+    time-slice bundles the reference's reshape produces. The rebuild trains on clean RGB
+    frames (documented divergence); this view exists to reproduce reference feature
+    tensors bit-for-bit when debugging against torch activations."""
+    b, t, h, w, c = video.shape
+    assert t % 3 == 0 and c == 3, "quirk view needs T % 3 == 0 and RGB input"
+    # (B, T, H, W, C) -> (B, C, T, H, W): the reference's permute(0,2,1,3,4) equivalent.
+    perm = np.transpose(video, (0, 4, 1, 2, 3))
+    # reshape(-1, T', H, W) with T'=3-slice bundles, then treat bundle axis as 'channels'.
+    bundles = perm.reshape(b * c * (t // 3), 3, h, w)
+    return np.transpose(bundles, (0, 2, 3, 1))  # channels-last pseudo-frames
+
+
 def process_feat(feat: np.ndarray, length: int = 32) -> np.ndarray:
     """Linear segment mean-pooling of a (T, F) feature sequence to (length, F)
     (utils/utils.py:34-42). Segment boundaries via integer linspace; empty segments copy the
