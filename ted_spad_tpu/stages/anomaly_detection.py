@@ -14,6 +14,7 @@ TPU-first redesign:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from typing import Any, Callable
@@ -53,10 +54,25 @@ def make_optimizer(p: MGFNParams) -> optax.GradientTransformation:
     )
 
 
-def make_train_step(model, optimizer, p: MGFNParams) -> Callable:
-    """Jitted step over a combined [normal; abnormal] batch (train.py:82-107)."""
+def make_train_step(model, optimizer, p: MGFNParams, mesh=None) -> Callable:
+    """Jitted step over a combined [normal; abnormal] batch (train.py:82-107).
 
-    @jax.jit
+    With ``mesh`` (1-D), the normal/abnormal half-batches are sharded on their leading
+    axis and params/opt-state stay replicated; XLA inserts the psum gradient all-reduce
+    over ICI (the DataParallel replacement, SURVEY.md §2.4)."""
+    jit_kw = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        rep = NamedSharding(mesh, P())
+        sh = NamedSharding(mesh, P(axis))
+        jit_kw = dict(
+            in_shardings=(rep, rep, rep, sh, sh, sh, sh),
+            out_shardings=(rep, rep, rep),
+        )
+
+    @functools.partial(jax.jit, **jit_kw)
     def train_step(state_vars, opt_state, rng, nfeat, nlabel, afeat, alabel):
         batch = nfeat.shape[0]
         video = jnp.concatenate([nfeat, afeat], axis=0)  # (2B, ncrops, 32, F+1)
@@ -134,6 +150,7 @@ def train_anomaly_detection(
     gt: np.ndarray | None = None,
     max_epochs: int | None = None,
     shuffle: bool = False,
+    mesh=None,
     log_fn: Callable[[str], None] = print,
     data_root: str | None = None,
 ) -> dict[str, Any]:
@@ -149,7 +166,7 @@ def train_anomaly_detection(
     model, variables = load_mgfn_model(p, ncrops=ncrops)
     optimizer = make_optimizer(p)
     opt_state = optimizer.init(variables["params"])
-    train_step = make_train_step(model, optimizer, p)
+    train_step = make_train_step(model, optimizer, p, mesh=mesh)
     score_fn = make_score_fn(model)
 
     # Best-ckpt selection: PR AUC for XD, ROC AUC otherwise (main.py:107-116).

@@ -22,6 +22,7 @@ TPU redesign (why this beats one-clip-at-a-time DALI):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from typing import Any, Callable, Iterator, Sequence
@@ -99,16 +100,28 @@ def iter_clip_batches(
 
 
 def make_extract_step(
-    ft_model, p: FeatureExtractionParams, fa=None, use_pallas: bool | None = None
+    ft_model, p: FeatureExtractionParams, fa=None, use_pallas: bool | None = None, mesh=None
 ) -> Callable:
     """One fused program: /255 + center-crop + resize + (frozen fa) + ft features.
 
     ``use_pallas`` selects the Pallas matmul-resample preprocessing kernel
-    (ops/pallas_preprocess.py) — default on TPU backends, XLA path elsewhere."""
+    (ops/pallas_preprocess.py) — default on TPU backends, XLA path elsewhere.
+    ``mesh``: a 1-D ``jax.sharding.Mesh`` to shard the clip batch over local chips
+    (params replicated) — the DataParallel replacement (dali_extraction.py:128-133)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
 
-    @jax.jit
+    shardings = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        shardings = dict(
+            in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P(axis))),
+            out_shardings=NamedSharding(mesh, P(axis)),
+        )
+
+    @functools.partial(jax.jit, **shardings)
     def extract(ft_vars, clips_u8):
         if use_pallas and not p.no_ar_distortion:
             from ted_spad_tpu.ops.pallas_preprocess import fused_preprocess
@@ -144,6 +157,7 @@ def extract_features(
     decode_hw: tuple[int, int] = (240, 320),
     shard_id: int = 0,
     num_shards: int = 1,
+    mesh=None,
     log_fn: Callable[[str], None] = print,
 ) -> dict[str, Any]:
     """Stage driver. Returns {video_uri: saved_path} plus throughput stats.
@@ -177,7 +191,7 @@ def extract_features(
     )
     if ft_variables is not None:
         ft_vars = ft_variables
-    extract = make_extract_step(ft_model, p, fa)
+    extract = make_extract_step(ft_model, p, fa, mesh=mesh)
 
     bs = batch_size or max(p.batch_size, 1)
     acc: dict[int, dict[int, np.ndarray]] = {}

@@ -1,0 +1,56 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4:
+shard_map/pjit tests stand in for distributed tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ted_spad_tpu.parallel import data_parallel_mesh, replicate, shard_batch
+from ted_spad_tpu.parallel.mesh import pad_to_multiple
+
+
+class TestMeshHelpers:
+    def test_mesh_has_all_devices(self):
+        mesh = data_parallel_mesh()
+        assert mesh.devices.size == len(jax.devices()) == 8
+
+    def test_shard_and_replicate(self):
+        mesh = data_parallel_mesh()
+        batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1)}
+        sharded = shard_batch(mesh, batch)
+        assert len(sharded["x"].sharding.device_set) == 8
+        params = replicate(mesh, {"w": np.ones((3, 3), np.float32)})
+        assert params["w"].sharding.is_fully_replicated
+
+    def test_pad_to_multiple(self):
+        batch = np.arange(10, dtype=np.float32).reshape(10, 1)
+        padded, mask = pad_to_multiple(batch, 8)
+        assert padded.shape == (16, 1)
+        assert mask.sum() == 10 and not mask[10:].any()
+
+
+def test_sharded_extraction_step_runs():
+    """Extraction step with the batch sharded over all 8 devices: compiles + executes
+    with psum-free data parallelism (inference has no cross-shard reduction)."""
+    from ted_spad_tpu.config.params import FeatureExtractionParams
+    from ted_spad_tpu.models import load_ft_model
+    from ted_spad_tpu.parallel import data_parallel_mesh, replicate, shard_batch
+    from ted_spad_tpu.stages.feature_extraction import make_extract_step
+
+    mesh = data_parallel_mesh()
+    p = FeatureExtractionParams(num_frames=8, reso_h=32, reso_w=32, compute_dtype="float32")
+    ft_model, ft_vars = load_ft_model(
+        "largei3d", num_classes=4, clip_shape=(8, 32, 32), dtype="float32"
+    )
+    ft_vars = replicate(mesh, ft_vars)
+    extract = make_extract_step(ft_model, p, mesh=mesh)
+    clips = np.random.default_rng(0).integers(0, 255, (8, 8, 48, 64, 3), dtype=np.uint8)
+    clips_sharded = shard_batch(mesh, jnp.asarray(clips))
+    feats = extract(ft_vars, clips_sharded)
+    assert feats.shape == (8, 2048)
+    assert len(feats.sharding.device_set) == 8  # output stays sharded
+    # Correctness: matches single-device run.
+    extract1 = make_extract_step(ft_model, p)
+    ref = extract1(jax.device_put(ft_vars, jax.devices()[0]), jnp.asarray(clips))
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(ref), rtol=2e-4, atol=1e-4)
