@@ -1,0 +1,75 @@
+"""Convert torch pretrained seeds into framework checkpoints.
+
+Covers the reference's three external weight artifacts (SURVEY.md §2.1 model factory row):
+  - ``i3d_r50_kinetics.pth`` -> largei3d ft seed (model_loaders.py:185-197)
+  - ``rgb_imagenet.pt``      -> i3d ft seed (model_loaders.py:171-182)
+  - torchvision resnet50 ImageNet -> fb predictor seed (model_loaders.py:157-168)
+
+Usage: ``python scripts/convert_weights.py --kind largei3d --src i3d_r50_kinetics.pth \
+--out seeds/ft_largei3d.ckpt --num_classes 102``
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--kind", required=True, choices=["largei3d", "i3d", "r50"])
+    ap.add_argument("--src", required=True, help="torch .pth/.pt (or .npz) checkpoint")
+    ap.add_argument("--out", required=True, help="output .ckpt path")
+    ap.add_argument("--num_classes", type=int, default=102)
+    ap.add_argument("--num_pa", type=int, default=7)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from ted_spad_tpu.models import load_fb_model, load_ft_model
+    from ted_spad_tpu.utils.checkpoint import save_checkpoint
+    from ted_spad_tpu.utils.torch_convert import (
+        convert_inception_i3d,
+        convert_resnet50_classifier,
+        load_kinetics_into_wrapper,
+        load_torch_checkpoint,
+    )
+
+    sd = load_torch_checkpoint(args.src)
+    if args.kind == "largei3d":
+        model, variables = load_ft_model("largei3d", num_classes=args.num_classes, clip_shape=(16, 64, 64))
+        variables = load_kinetics_into_wrapper(variables, sd, args.num_classes)
+        payload = {"ft_model_state_dict": variables}
+    elif args.kind == "i3d":
+        model, variables = load_ft_model("i3d", num_classes=args.num_classes, clip_shape=(16, 224, 224))
+        tree = convert_inception_i3d(sd, include_logits=(args.num_classes == 400))
+        variables = {
+            **variables,
+            "params": {**variables["params"], **tree["params"]},
+            "batch_stats": {**variables["batch_stats"], **tree["batch_stats"]},
+        }
+        payload = {"ft_model_state_dict": variables}
+    else:  # r50 fb predictor
+        model, variables = load_fb_model("r50", num_pa=args.num_pa, image_size=(64, 64))
+        conv = convert_resnet50_classifier(sd, replace_fc=True)
+        variables = {
+            **variables,
+            "params": {**variables["params"], **conv["params"]},
+            "batch_stats": {**variables["batch_stats"], **conv["batch_stats"]},
+        }
+        payload = {"fb_model_state_dict": variables}
+
+    save_checkpoint(args.out, payload)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

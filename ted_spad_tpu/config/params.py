@@ -129,6 +129,7 @@ class ActionParams(VideoParams):
     triplet_loss_margin: float = 1.0
     ft_dropout: float = 0.0
     eval_only: bool = False
+    three_crop: bool = False  # val five-crop-corner TTA (ucf101_dl.py:199-203, 297-320)
     val_freq: int = 3
     kin_pretrained: bool = False
 

@@ -101,15 +101,39 @@ def make_train_step(ft_model, optimizer, p: ActionParams, fa=None) -> Callable:
     return train_step
 
 
-def make_eval_step(ft_model, p: ActionParams, fa=None) -> Callable:
-    def eval_step(variables, clips_u8, cropping_factor, hflip):
-        # clips_u8: (B, 1, T, H, W, C); center-crop factor + resize on device.
-        img = clips_u8[:, 0].astype(jnp.float32) / 255.0
-        img = center_crop_resize(img, cropping_factor, p.reso_h, p.reso_w, hflip=hflip)
+def make_eval_step(ft_model, p: ActionParams, fa=None, three_crop: bool = False) -> Callable:
+    """Per-view softmax. ``three_crop`` adds two corner crops to the center view and
+    averages (ucf101_dl.py:297-320 threeCrop TTA; the reference five-crops the already
+    center-cropped image — here the corners are taken at the crop factor on the full
+    frame, the evident intent)."""
+
+    def one_view(variables, img, hflip):
+        if hflip:
+            img = img[..., :, ::-1, :]
+        view = img
         if fa is not None:
-            img = _apply_fa_frames(fa[0], fa[1], img)
-        logits, _ = ft_model.apply(variables, img, train=False)
+            view = _apply_fa_frames(fa[0], fa[1], view)
+        logits, _ = ft_model.apply(variables, view, train=False)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    def eval_step(variables, clips_u8, cropping_factor, hflip):
+        # clips_u8: (B, 1, T, H, W, C); crops + resize on device.
+        img = clips_u8[:, 0].astype(jnp.float32) / 255.0
+        center = center_crop_resize(img, cropping_factor, p.reso_h, p.reso_w)
+        probs = one_view(variables, center, hflip)
+        if three_crop and cropping_factor < 1.0:
+            h, w = img.shape[-3], img.shape[-2]
+            ch, cw = int(h * cropping_factor), int(w * cropping_factor)
+            tl = img[..., :ch, :cw, :]
+            br = img[..., h - ch :, w - cw :, :]
+            for corner in (tl, br):
+                view = jax.image.resize(
+                    corner, (*corner.shape[:-3], p.reso_h, p.reso_w, corner.shape[-1]),
+                    method="linear", antialias=True,
+                )
+                probs = probs + one_view(variables, view, hflip)
+            probs = probs / 3.0
+        return probs
 
     return jax.jit(eval_step, static_argnames=("cropping_factor", "hflip"))
 
@@ -153,6 +177,7 @@ def train_action(
     fa_variables: Any | None = None,
     max_epochs: int | None = None,
     decode_hw: tuple[int, int] = (0, 0),
+    mesh=None,
     log_fn: Callable[[str], None] = print,
     seed: int = 0,
 ) -> dict[str, Any]:
@@ -173,6 +198,15 @@ def train_action(
 
     optimizer = make_optimizer(p.opt_type, p.learning_rate, p.weight_decay, p.momentum)
     opt_state = optimizer.init(variables["params"])
+    if mesh is not None:
+        # Replicate params/opt-state once; per-step batches are device_put sharded below
+        # and GSPMD propagates the layout through the jitted step (DP over ICI).
+        from ted_spad_tpu.parallel import replicate
+
+        variables = replicate(mesh, variables)
+        opt_state = replicate(mesh, opt_state)
+        if fa is not None:
+            fa = (fa[0], replicate(mesh, fa[1]))
 
     # Restart-from-temp (train_action.py:204-212).
     start_epoch = 1
@@ -189,7 +223,7 @@ def train_action(
         decode_w=decode_hw[1], decode_h=decode_hw[0], seed=seed,
     )
     train_step = make_train_step(ft_model, optimizer, p, fa)
-    eval_step = make_eval_step(ft_model, p, fa)
+    eval_step = make_eval_step(ft_model, p, fa, three_crop=p.three_crop)
 
     sched = LRScheduler(p)
     best = BestCheckpointer(os.path.join(save_dir, p.run_id), "model", mode="max")
@@ -205,10 +239,12 @@ def train_action(
         losses = []
         for batch in train_ds.batches(p.batch_size, seed=seed + epoch):
             rng, step_rng = jax.random.split(rng)
-            variables, opt_state, loss = train_step(
-                variables, opt_state, step_rng,
-                jnp.asarray(batch.clips), jnp.asarray(batch.labels), batch.params.to_device(),
-            )
+            clips, labels, aug = jnp.asarray(batch.clips), jnp.asarray(batch.labels), batch.params.to_device()
+            if mesh is not None and batch.clips.shape[0] % mesh.devices.size == 0:
+                from ted_spad_tpu.parallel import shard_batch
+
+                clips, labels, aug = shard_batch(mesh, (clips, labels, aug))
+            variables, opt_state, loss = train_step(variables, opt_state, step_rng, clips, labels, aug)
             losses.append(float(loss))
         train_loss = float(np.mean(losses)) if losses else float("nan")
         sched.update(train_loss)

@@ -157,6 +157,7 @@ def train_anonymizer(
     save_dir: str = "saved_models",
     max_epochs: int | None = None,
     decode_hw: tuple[int, int] = (0, 0),
+    mesh=None,
     log_fn: Callable[[str], None] = print,
     seed: int = 0,
 ) -> dict[str, Any]:
@@ -178,6 +179,11 @@ def train_anonymizer(
     opt_fb = make_optimizer(p.opt_type, p.learning_rate_fb, p.weight_decay)
     opt_ft = make_optimizer(p.opt_type, p.learning_rate_ft, p.weight_decay)
     st_fa, st_fb, st_ft = (opt_fa.init(fa_vars["params"]), opt_fb.init(fb_vars["params"]), opt_ft.init(ft_vars["params"]))
+    if mesh is not None:
+        from ted_spad_tpu.parallel import replicate
+
+        fa_vars, fb_vars, ft_vars = (replicate(mesh, v) for v in (fa_vars, fb_vars, ft_vars))
+        st_fa, st_fb, st_ft = (replicate(mesh, s_) for s_ in (st_fa, st_fb, st_ft))
 
     fa_step = make_fa_step(fa_model, fb_model, ft_model, opt_fa, p)
     fbft_step = make_fbft_step(fa_model, fb_model, ft_model, opt_fb, opt_ft, p)
@@ -221,6 +227,10 @@ def train_anonymizer(
             clips = augment_batch(flat, video_b.params.to_device(), p.reso_h, p.reso_w)
             clips = clips.reshape((b, v) + clips.shape[1:])
             labels = jnp.asarray(video_b.labels)
+            if mesh is not None and b % mesh.devices.size == 0 and v1.shape[0] % mesh.devices.size == 0:
+                from ted_spad_tpu.parallel import shard_batch
+
+                v1, v2, clips, labels = shard_batch(mesh, (v1, v2, clips, labels))
 
             if step == 1:
                 fa_vars, st_fa, lfa, lfb, lft, ltemp = fa_step(
