@@ -37,16 +37,16 @@ def main() -> None:
         "largei3d", num_classes=102, clip_shape=(16, 224, 224), dtype="bfloat16"
     )
 
-    batch = 8
+    batch = 16
     rng = np.random.default_rng(0)
     clips = rng.integers(0, 255, (batch, 16, 240, 320, 3), dtype=np.uint8)
     clips_dev = jnp.asarray(clips)
     one_clip = jnp.asarray(clips[:1])
 
     # --- Fused + batched (ours) -------------------------------------------------
-    extract = make_extract_step(ft_model, p, fa=(fa_model, fa_vars))
+    extract = make_extract_step(ft_model, p, fa=(fa_model, fa_vars))  # pallas preprocess on TPU
     extract(ft_vars, clips_dev).block_until_ready()  # compile + warmup
-    n_iters = 12
+    n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = extract(ft_vars, clips_dev)
