@@ -217,6 +217,14 @@ def train_action(
         start_epoch = int(state.get("epoch", 1))
         log_fn(f"restarted from {temp_path} at epoch {start_epoch}")
 
+    if p.eval_only:
+        # Evaluation-only mode (params_action eval_only flag): mode-x-crop sweep, no training.
+        eval_step = make_eval_step(ft_model, p, fa, three_crop=p.three_crop)
+        acc = evaluate_action(eval_step, variables, val_items, p, decode_hw=decode_hw)
+        log_fn(f"eval_only top-1: {acc:.4f}")
+        return {"history": {"train_loss": [], "val_acc": [acc]}, "best_acc": acc,
+                "best_path": None, "variables": variables}
+
     views = 3 if p.temporal_loss == "trip" else (2 if p.temporal_loss == "con" else 1)
     train_ds = ClipDataset(
         train_items, p, views=views, data_percentage=p.data_percentage,

@@ -148,6 +148,28 @@ def make_fbft_step(fa_model, fb_model, ft_model, opt_fb, opt_ft, p: Anonymizatio
     return fbft_step
 
 
+def save_vispr_visualization(
+    fa_model, fa_vars, images_u8: np.ndarray, out_path: str, reso: tuple[int, int]
+) -> str:
+    """Per-epoch anonymization PNG grid — original row over anonymized row
+    (val_visualization_fa_vispr, train_anonymizer.py:305-315)."""
+    from PIL import Image
+
+    from ted_spad_tpu.ops.augment import center_crop_resize
+
+    img = center_crop_resize(
+        jnp.asarray(images_u8[:, None]), 1.0, reso[0], reso[1], no_ar_distortion=True
+    )[:, 0]
+    anon = np.asarray(jnp.clip(fa_model.apply(fa_vars, img, train=False), 0.0, 1.0))
+    orig = np.asarray(img)
+    top = np.concatenate(list(orig), axis=1)
+    bottom = np.concatenate(list(anon), axis=1)
+    grid = (np.concatenate([top, bottom], axis=0) * 255 + 0.5).astype(np.uint8)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    Image.fromarray(grid).save(out_path)
+    return out_path
+
+
 def train_anonymizer(
     p: AnonymizationParams,
     *,
@@ -252,6 +274,13 @@ def train_anonymizer(
 
         acc = float("nan")
         if epoch in p.val_array or epoch == epochs:
+            # Anonymization preview grid (val_visualization_fa_vispr, :454-456).
+            vis_imgs, _ = vispr_source.get_batch(list(range(min(4, len(vispr_source)))))
+            save_vispr_visualization(
+                fa_model, fa_vars, vis_imgs,
+                os.path.join(save_dir, p.run_id, "visuals", f"epoch_{epoch}.png"),
+                (p.reso_h, p.reso_w),
+            )
             ft_eval = make_eval_step(ft_model, p, fa=(fa_model, fa_vars))  # fresh fa snapshot
             acc = evaluate_action(ft_eval, ft_vars, val_items, p, decode_hw=decode_hw)
             history["val_acc"].append(acc)
