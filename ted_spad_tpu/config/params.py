@@ -262,8 +262,10 @@ class MGFNParams:
     dropout_rate: float = 0.7
     k: int = 3  # top-k snippet selection (mgfn.py:184)
 
-    # Training (option.py:26-31; main.py:72).
+    # Training (option.py:26-31; main.py:72). ``lr_schedule`` mirrors config.py:6's
+    # per-epoch LR list ('[0.001]*15000' stepped per epoch, main.py:91-93); None = constant.
     lr: float = 1e-3
+    lr_schedule: tuple | None = None
     batch_size: int = 16
     weight_decay: float = 5e-4
     max_epoch: int = 1000

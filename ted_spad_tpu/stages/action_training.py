@@ -239,6 +239,9 @@ def train_action(
     epochs = max_epochs or p.num_epochs
     history = {"train_loss": [], "val_acc": []}
     train_loss = float("nan")
+    from ted_spad_tpu.utils.logging import MetricsWriter
+
+    writer = MetricsWriter(save_dir, p.run_id)
 
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
@@ -264,6 +267,7 @@ def train_action(
             history["val_acc"].append(acc)
             best.maybe_save(acc, epoch, {"ft_model_state_dict": variables})
         save_temp(os.path.join(save_dir, p.run_id), "model", {"ft_model_state_dict": variables, "epoch": epoch + 1})
+        writer.scalars({"lr": lr, "train_loss": train_loss, "val_acc": acc}, epoch)
         log_fn(
             f"epoch {epoch}: lr {lr:.2e} loss {train_loss:.4f} acc {acc:.4f} ({time.time() - t0:.1f}s)"
         )

@@ -46,12 +46,16 @@ class TrainState:
 
 def make_optimizer(p: MGFNParams) -> optax.GradientTransformation:
     # Adam lr 1e-3, weight_decay 5e-4 (main.py:72). torch Adam's weight_decay is L2-added-
-    # to-grad, i.e. optax.add_decayed_weights *before* the Adam transform.
-    return optax.chain(
-        optax.add_decayed_weights(p.weight_decay),
-        optax.scale_by_adam(),
-        optax.scale(-p.lr),
-    )
+    # to-grad, i.e. optax.add_decayed_weights *before* the Adam transform. LR is injected
+    # so the per-epoch schedule list (config.py:6, main.py:91-93) mutates without recompile.
+    def build(learning_rate):
+        return optax.chain(
+            optax.add_decayed_weights(p.weight_decay),
+            optax.scale_by_adam(),
+            optax.scale(-learning_rate),
+        )
+
+    return optax.inject_hyperparams(build)(learning_rate=p.lr)
 
 
 def make_train_step(model, optimizer, p: MGFNParams, mesh=None) -> Callable:
@@ -176,8 +180,14 @@ def train_anomaly_detection(
     epochs = max_epochs or p.max_epoch
     history = {"epoch": [], "test_AUC": [], "test_PR": [], "loss": []}
 
+    from ted_spad_tpu.stages.common import set_learning_rate
+    from ted_spad_tpu.utils.logging import MetricsWriter
+
+    writer = MetricsWriter(save_dir, p.model_name)
     for epoch in range(1, epochs + 1):
         t0 = time.time()
+        if p.lr_schedule:
+            opt_state = set_learning_rate(opt_state, p.lr_schedule[min(epoch - 1, len(p.lr_schedule) - 1)])
         loss_val = float("nan")
         for batch in paired_train_batches(
             normal_ds, abnormal_ds, p.batch_size, shuffle=shuffle, seed=p.seed + epoch
@@ -190,6 +200,7 @@ def train_anomaly_detection(
         history["test_AUC"].append(auc_roc)
         history["test_PR"].append(auc_pr)
         history["loss"].append(loss_val)
+        writer.scalars({"loss": loss_val, "roc_auc": auc_roc, "pr_auc": auc_pr}, epoch)
         metric = auc_pr if select_pr else auc_roc
         saved = best.maybe_save(metric, epoch, {"mgfn_model_state_dict": variables})
         log_fn(

@@ -221,6 +221,10 @@ def train_anonymizer(
     rng = jax.random.PRNGKey(seed)
     epochs = max_epochs or p.num_epochs
     history = {"loss_fa": [], "loss_fb": [], "loss_ft": [], "loss_temporal": [], "val_acc": []}
+    from ted_spad_tpu.utils.logging import MetricsWriter, config_dump
+
+    writer = MetricsWriter(save_dir, p.run_id)
+    config_dump(writer, p)
 
     for epoch in range(1, epochs + 1):
         t0 = time.time()
@@ -300,6 +304,17 @@ def train_anonymizer(
                 os.path.join(save_dir, p.run_id, f"model_{epoch}_full.ckpt"),
                 {**payload, "opt_fa": st_fa, "opt_fb": st_fb, "opt_ft": st_ft},
             )
+        writer.scalars(
+            {
+                "lr_fa": scale * p.learning_rate_fa,
+                "loss_fa": history["loss_fa"][-1],
+                "loss_fb": history["loss_fb"][-1],
+                "loss_ft": history["loss_ft"][-1],
+                "loss_temporal": history["loss_temporal"][-1],
+                "val_acc": acc,
+            },
+            epoch,
+        )
         log_fn(
             f"epoch {epoch}: fa {history['loss_fa'][-1]:.4f} fb {history['loss_fb'][-1]:.4f} "
             f"ft {history['loss_ft'][-1]:.4f} acc {acc:.4f} ({time.time() - t0:.1f}s)"

@@ -88,6 +88,9 @@ def train_reconstruction(
     epochs = max_epochs or p.num_epochs
     history = {"train_loss": [], "val_loss": []}
     src_size = train_source.get_batch([0])[0].shape[1]
+    from ted_spad_tpu.utils.logging import MetricsWriter
+
+    writer = MetricsWriter(save_dir, p.run_id)
 
     for epoch in range(1, epochs + 1):
         t0 = time.time()
@@ -126,6 +129,7 @@ def train_reconstruction(
             "model",
             {"fa_model_state_dict": variables, "epoch": epoch + 1, "lr_counter": sched.patience_count},
         )
+        writer.scalars({"lr": lr, "train_l1": train_loss, "val_l1": val_loss}, epoch)
         log_fn(
             f"epoch {epoch}: lr {lr:.2e} train_l1 {train_loss:.4f} val_l1 {val_loss:.4f} "
             f"({time.time() - t0:.1f}s)"

@@ -103,6 +103,9 @@ def train_privacy(
     best = BestCheckpointer(os.path.join(save_dir, p.run_id), "model", mode="max")
     epochs = max_epochs or p.num_epochs
     history = {"train_loss": [], "val_loss": [], "cmap": [], "f1": []}
+    from ted_spad_tpu.utils.logging import MetricsWriter
+
+    writer = MetricsWriter(save_dir, p.run_id)
 
     for epoch in range(1, epochs + 1):
         t0 = time.time()
@@ -147,6 +150,7 @@ def train_privacy(
                 "per_class_ap": per_class,
             },
         )
+        writer.scalars({"lr": lr, "train_loss": train_loss, "cmap": cmap, "f1": f1}, epoch)
         save_temp(os.path.join(save_dir, p.run_id), "model", {"fb_model_state_dict": variables, "epoch": epoch + 1})
         log_fn(
             f"epoch {epoch}: lr {lr:.2e} loss {train_loss:.4f} cMAP {cmap:.4f} "
