@@ -41,17 +41,28 @@ from ted_spad_tpu.stages.common import make_optimizer, set_learning_rate
 from ted_spad_tpu.utils.checkpoint import BestCheckpointer, save_checkpoint, save_temp
 
 
-def _anon_frames(fa_model, fa_vars, video, train: bool, rng=None):
-    """fa over every frame of (B, V, T, h, w, C); returns same shape, f32."""
+def _anon_frames(fa_model, fa_vars, video, train: bool, rng=None, remat: bool = True):
+    """fa over every frame of (B, V, T, h, w, C); returns same shape, f32.
+
+    ``remat``: rematerialize fa activations in the backward (jax.checkpoint) — at the
+    reference scale (8 videos x 3 views x 16 frames at 224², params_anonymization.py) the
+    un-checkpointed backward exceeds a v5e chip's 16GB HBM; remat trades ~1 extra forward
+    for sub-linear activation memory (the AMP-era GPU memory trick's TPU counterpart)."""
     lead = video.shape[:-3]
     frames = video.reshape((-1,) + video.shape[-3:])
     kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
     if train:
-        out, mutated = fa_model.apply(
-            fa_vars, frames, train=True, mutable=["batch_stats"], **kwargs
-        )
+        def apply_fn(variables, x):
+            return fa_model.apply(variables, x, train=True, mutable=["batch_stats"], **kwargs)
+
+        if remat:
+            apply_fn = jax.checkpoint(apply_fn)
+        out, mutated = apply_fn(fa_vars, frames)
         return out.reshape(lead + out.shape[-3:]), mutated
-    out = fa_model.apply(fa_vars, frames, train=False)
+    apply_fn = lambda variables, x: fa_model.apply(variables, x, train=False)
+    if remat:
+        apply_fn = jax.checkpoint(apply_fn)
+    out = apply_fn(fa_vars, frames)
     return out.reshape(lead + out.shape[-3:]), None
 
 
@@ -62,11 +73,14 @@ def _ft_losses(ft_model, ft_vars, anon_clips, labels, p: AnonymizationParams, tr
     flat = anon_clips.reshape((b * v,) + anon_clips.shape[2:])
     kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
     if train:
-        (logits, emb), mutated = ft_model.apply(
-            ft_vars, flat, train=True, mutable=["batch_stats"], **kwargs
-        )
+        def apply_fn(variables, x):
+            return ft_model.apply(variables, x, train=True, mutable=["batch_stats"], **kwargs)
+
+        (logits, emb), mutated = jax.checkpoint(apply_fn)(ft_vars, flat)
     else:
-        logits, emb = ft_model.apply(ft_vars, flat, train=False)
+        logits, emb = jax.checkpoint(
+            lambda variables, x: ft_model.apply(variables, x, train=False)
+        )(ft_vars, flat)
         mutated = None
     logits = logits.reshape(b, v, -1)
     emb = emb.reshape(b, v, -1)
@@ -78,8 +92,11 @@ def _ft_losses(ft_model, ft_vars, anon_clips, labels, p: AnonymizationParams, tr
 def _fb_loss(fb_model, fb_vars, anon_pair, p: AnonymizationParams, train: bool):
     """NT-Xent over the two anonymized VISPR views (train_anonymizer.py:78-84)."""
     if train:
-        z1, m1 = fb_model.apply(fb_vars, anon_pair[0], train=True, mutable=["batch_stats"])
-        z2, m2 = fb_model.apply({**fb_vars, **m1}, anon_pair[1], train=True, mutable=["batch_stats"])
+        apply_fn = jax.checkpoint(
+            lambda variables, x: fb_model.apply(variables, x, train=True, mutable=["batch_stats"])
+        )
+        z1, m1 = apply_fn(fb_vars, anon_pair[0])
+        z2, m2 = apply_fn({**fb_vars, **m1}, anon_pair[1])
         mutated = m2
     else:
         z1 = fb_model.apply(fb_vars, anon_pair[0], train=False)
