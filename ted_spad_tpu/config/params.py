@@ -90,6 +90,7 @@ class VideoParams(StageParams):
     min_crop_factor_training: float = 0.6
     temporal_align: bool = False
     weak_aug: bool = False
+    frame_wise_aug: bool = False  # per-frame color jitter (ucf101_dl.py:127-135)
     no_ar_distortion: bool = False
     aspect_ratio_aug: bool = False
     ori_reso_h: int = 240

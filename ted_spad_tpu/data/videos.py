@@ -244,6 +244,10 @@ class ClipDataset:
             for field in ("y0", "x0", "crop_h", "crop_w"):
                 arr = getattr(aug, field).reshape(b, v)
                 arr[:, 1:] = arr[:, :1]
+            if getattr(self.p, "frame_wise_aug", False) and not getattr(self.p, "weak_aug", False):
+                from ted_spad_tpu.ops.augment import expand_framewise
+
+                aug = expand_framewise(aug, clips.shape[2], rng)
             yield ClipBatch(clips, labels, aug)
 
 

@@ -255,8 +255,47 @@ def augment_clip(frames: Array, p: dict[str, Array], out_h: int, out_w: int) -> 
 
 def augment_batch(frames: Array, params: dict[str, Array], out_h: int = 224, out_w: int = 224) -> Array:
     """(B, T, H, W, C) + AugmentParams.to_device() -> (B, T, out_h, out_w, C) f32 [0,1].
-    vmapped over clips; jit at the call site fuses everything."""
+    vmapped over clips; jit at the call site fuses everything.
+
+    Frame-wise mode (ucf101_dl.py:127-135 framewise_aug): when the params' leading dim is
+    ``B*T`` instead of ``B``, every frame gets its own draw — frames are treated as
+    length-1 clips."""
+    b, t = frames.shape[0], frames.shape[1]
+    n_params = params["y0"].shape[0]
+    if n_params == b * t and t != 1:
+        flat = frames.reshape((b * t, 1) + frames.shape[2:])
+        out = jax.vmap(lambda f, p: augment_clip(f, p, out_h, out_w))(flat, params)
+        return out.reshape((b, t) + out.shape[2:])
     return jax.vmap(lambda f, p: augment_clip(f, p, out_h, out_w))(frames, params)
+
+
+def expand_framewise(params: AugmentParams, num_frames: int, rng: np.random.Generator) -> AugmentParams:
+    """Per-clip draw -> per-frame draw: crop/hflip fields tile across frames (sampled once
+    per clip, ucf101_dl.py:95-122), color/erase fields resample per frame (:127-135)."""
+    import dataclasses as _dc
+
+    b = params.y0.shape[0]
+    tiled = {}
+    for f in _dc.fields(params):
+        arr = getattr(params, f.name)
+        tiled[f.name] = np.repeat(arr, num_frames, axis=0)
+    out = AugmentParams(**tiled)
+    n = b * num_frames
+    # Resample the per-frame fields with the reference distributions.
+    out.contrast = rng.uniform(0.9, 1.1, n)
+    out.hue = rng.uniform(-0.05, 0.05, n)
+    out.saturation = rng.uniform(0.9, 1.1, n)
+    out.brightness = rng.uniform(0.9, 1.1, n)
+    out.gamma = rng.uniform(0.85, 1.15, n)
+    r = rng.random((n, 10))
+    out.do_contrast = r[:, 0] < 0.125
+    out.do_hue = r[:, 1] < 0.15
+    out.do_saturation = r[:, 2] < 0.15
+    out.do_brightness = r[:, 3] < 0.15
+    out.do_grayscale = r[:, 4] > 0.9
+    out.do_gamma = (r[:, 4] > 0.9) & (r[:, 5] > 0.25)
+    out.do_erase = r[:, 7:9] < 0.4
+    return out
 
 
 def center_crop_resize(
