@@ -66,7 +66,7 @@ def iter_clip_batches(
     clip_counts gives each video's total clips (known once its decode finishes). The last
     batch is padded by repeating the final clip (rows beyond refs are padding).
     """
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
     clip_counts: dict[int, int] = {}
 
@@ -80,18 +80,34 @@ def iter_clip_batches(
         vr.close()
         return vi, clips
 
+    # Completion-order draining with a bounded look-ahead window: a slow video never
+    # head-of-line-blocks the device (pool.map would yield in submit order), and at most
+    # ``window`` decoded videos are buffered (bounds host RAM). This is the DALI decode
+    # thread pool's role, host-side.
     pool = ThreadPoolExecutor(num_workers)
-    pending = pool.map(decode_video, range(len(video_uris)))
+    window = max(2 * num_workers, 4)
+    next_submit = 0
+    futures = set()
+    while next_submit < len(video_uris) and len(futures) < window:
+        futures.add(pool.submit(decode_video, next_submit))
+        next_submit += 1
+
     buf_clips: list[np.ndarray] = []
     buf_refs: list[ClipRef] = []
-    for vi, clips in pending:
-        clip_counts[vi] = len(clips)
-        for ref, clip in clips:
-            buf_refs.append(ref)
-            buf_clips.append(clip)
-            if len(buf_clips) == batch_size:
-                yield np.stack(buf_clips), list(buf_refs), dict(clip_counts)
-                buf_clips, buf_refs = [], []
+    while futures:
+        done, futures = wait(futures, return_when=FIRST_COMPLETED)
+        for fut in done:
+            vi, clips = fut.result()
+            clip_counts[vi] = len(clips)
+            for ref, clip in clips:
+                buf_refs.append(ref)
+                buf_clips.append(clip)
+                if len(buf_clips) == batch_size:
+                    yield np.stack(buf_clips), list(buf_refs), dict(clip_counts)
+                    buf_clips, buf_refs = [], []
+            if next_submit < len(video_uris):
+                futures.add(pool.submit(decode_video, next_submit))
+                next_submit += 1
     if buf_clips:
         refs = list(buf_refs)
         while len(buf_clips) < batch_size:
