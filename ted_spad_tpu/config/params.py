@@ -181,6 +181,10 @@ class AnonymizationParams(VideoParams):
     nt_xent_temperature: float = 0.1
     nt_xent_cosine: bool = False
 
+    # Microbatch gradient accumulation inside the jitted fa step (memory for
+    # reference-scale batches on one chip; see stages/anonymization_training.py).
+    accum_steps: int = 1
+
     # Checkpoint gating (train_anonymizer.py:511): save best only above this top-1.
     save_acc_threshold: float = 0.6
 

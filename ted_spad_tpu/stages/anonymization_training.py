@@ -105,9 +105,19 @@ def _fb_loss(fb_model, fb_vars, anon_pair, p: AnonymizationParams, train: bool):
     return nt_xent_loss(z1, z2, p.nt_xent_temperature, p.nt_xent_cosine), mutated
 
 
-def make_fa_step(fa_model, fb_model, ft_model, opt_fa, p: AnonymizationParams) -> Callable:
+def make_fa_step(
+    fa_model, fb_model, ft_model, opt_fa, p: AnonymizationParams, accum_steps: int = 1
+) -> Callable:
+    """``accum_steps > 1`` splits the batch into microbatches inside the jitted step
+    (lax.scan over grads): full reference batch (8 videos + 12 VISPR pairs at 224²,
+    params_anonymization.py) on one v5e chip without exceeding HBM. Gradients are the
+    mean over microbatches; BN stats chain through the scan."""
+
     @jax.jit
     def fa_step(fa_vars, opt_state, fb_vars, ft_vars, rng, vispr1, vispr2, clips, labels):
+        if accum_steps > 1:
+            return _fa_step_accum(fa_vars, opt_state, fb_vars, ft_vars, rng, vispr1, vispr2, clips, labels)
+
         def loss_fn(fa_params):
             vars_in = {**fa_vars, "params": fa_params}
             anon_v1, m1 = _anon_frames(fa_model, vars_in, vispr1[:, None], train=True)
@@ -125,6 +135,41 @@ def make_fa_step(fa_model, fb_model, ft_model, opt_fa, p: AnonymizationParams) -
         params = jax.tree_util.tree_map(lambda x, u: x + u, fa_vars["params"], updates)
         new_fa = {**fa_vars, "params": params, **(mutated or {})}
         return new_fa, opt_state, loss_fa, loss_fb, loss_ft, loss_temporal
+
+    def _fa_step_accum(fa_vars, opt_state, fb_vars, ft_vars, rng, vispr1, vispr2, clips, labels):
+        n = accum_steps
+        mb = lambda x: x.reshape((n, x.shape[0] // n) + x.shape[1:])
+        micro = (mb(vispr1), mb(vispr2), mb(clips), mb(labels))
+
+        def loss_fn(fa_params, batch_stats, mv1, mv2, mclips, mlabels):
+            vars_in = {**fa_vars, "params": fa_params, **batch_stats}
+            anon_v1, m1 = _anon_frames(fa_model, vars_in, mv1[:, None], train=True)
+            anon_v2, m2 = _anon_frames(fa_model, {**vars_in, **m1}, mv2[:, None], train=True)
+            loss_fb, _ = _fb_loss(fb_model, fb_vars, (anon_v1[:, 0], anon_v2[:, 0]), p, train=False)
+            anon_clips, m3 = _anon_frames(fa_model, {**vars_in, **m2}, mclips, train=True)
+            loss_ft, loss_temporal, _ = _ft_losses(ft_model, ft_vars, anon_clips, mlabels, p, train=False)
+            loss_fa = -p.fb_loss_weight * loss_fb + p.ft_loss_weight * loss_ft
+            return loss_fa, (m3, loss_fb, loss_ft, loss_temporal)
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, fa_vars["params"])
+        init_stats = {k: v for k, v in fa_vars.items() if k != "params"}
+
+        def body(carry, xs):
+            grads_acc, stats, losses_acc = carry
+            (loss_fa, (mutated, loss_fb, loss_ft, loss_temporal)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(fa_vars["params"], stats, *xs)
+            grads_acc = jax.tree_util.tree_map(lambda a, g: a + g / n, grads_acc, grads)
+            losses = jnp.asarray([loss_fa, loss_fb, loss_ft, loss_temporal]) / n
+            return (grads_acc, mutated, losses_acc + losses), None
+
+        (grads, mutated, losses), _ = jax.lax.scan(
+            body, (zero_grads, init_stats, jnp.zeros(4)), micro
+        )
+        updates, opt_state = opt_fa.update(grads, opt_state, fa_vars["params"])
+        params = jax.tree_util.tree_map(lambda x, u: x + u, fa_vars["params"], updates)
+        new_fa = {**fa_vars, "params": params, **mutated}
+        return new_fa, opt_state, losses[0], losses[1], losses[2], losses[3]
 
     return fa_step
 
@@ -224,7 +269,7 @@ def train_anonymizer(
         fa_vars, fb_vars, ft_vars = (replicate(mesh, v) for v in (fa_vars, fb_vars, ft_vars))
         st_fa, st_fb, st_ft = (replicate(mesh, s_) for s_ in (st_fa, st_fb, st_ft))
 
-    fa_step = make_fa_step(fa_model, fb_model, ft_model, opt_fa, p)
+    fa_step = make_fa_step(fa_model, fb_model, ft_model, opt_fa, p, accum_steps=p.accum_steps)
     fbft_step = make_fbft_step(fa_model, fb_model, ft_model, opt_fb, opt_ft, p)
     ft_eval = make_eval_step(ft_model, p, fa=(fa_model, fa_vars))
 

@@ -82,3 +82,33 @@ class BestCheckpointer:
 def save_temp(directory: str, name: str, payload: Mapping[str, Any]) -> str:
     """Rolling per-epoch checkpoint (``model_temp.pth`` equivalent, train_action.py:400-409)."""
     return save_checkpoint(os.path.join(directory, f"{name}_temp.ckpt"), payload)
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): async, multi-host-safe checkpointing for large runs.
+# The msgpack format above stays the canonical single-host artifact; orbax adds
+# non-blocking saves during training at production scale.
+# ---------------------------------------------------------------------------
+
+
+def orbax_checkpointer():
+    """Create an async orbax checkpointer, or None if orbax is unavailable."""
+    try:
+        import orbax.checkpoint as ocp
+
+        return ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def save_checkpoint_orbax(checkpointer, path: str, payload: Mapping[str, Any]) -> str:
+    """Non-blocking save of a pytree dict via orbax (multi-host coordinated)."""
+    checkpointer.save(os.path.abspath(path), dict(payload), force=True)
+    return path
+
+
+def load_checkpoint_orbax(checkpointer, path: str, template: Any | None = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    args = ocp.args.StandardRestore(template) if template is not None else None
+    return checkpointer.restore(os.path.abspath(path), args=args)
