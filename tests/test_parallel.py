@@ -54,3 +54,33 @@ def test_sharded_extraction_step_runs():
     extract1 = make_extract_step(ft_model, p)
     ref = extract1(jax.device_put(ft_vars, jax.devices()[0]), jnp.asarray(clips))
     np.testing.assert_allclose(np.asarray(feats), np.asarray(ref), rtol=2e-4, atol=1e-4)
+
+
+def test_fa_step_gradient_accumulation_runs():
+    """accum_steps microbatching (stages/anonymization_training.py) produces finite losses
+    and updates params on the CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from ted_spad_tpu.config.params import AnonymizationParams
+    from ted_spad_tpu.models import load_fa_model, load_fb_model, load_ft_model
+    from ted_spad_tpu.stages.anonymization_training import make_fa_step
+    from ted_spad_tpu.stages.common import make_optimizer
+
+    p = AnonymizationParams(num_classes=4, num_frames=8, reso_h=32, reso_w=32, compute_dtype="float32")
+    fa_model, fa_vars = load_fa_model(image_size=(32, 32), dtype="float32")
+    ft_model, ft_vars = load_ft_model("largei3d", num_classes=4, clip_shape=(8, 32, 32), dtype="float32")
+    fb_model, fb_vars = load_fb_model(ssl=True, image_size=(32, 32), dtype="float32")
+    opt_fa = make_optimizer("adam", 1e-3)
+    st = opt_fa.init(fa_vars["params"])
+    r = np.random.default_rng(0)
+    v1 = jnp.asarray(r.random((4, 32, 32, 3)).astype(np.float32))
+    v2 = jnp.asarray(r.random((4, 32, 32, 3)).astype(np.float32))
+    clips = jnp.asarray(r.random((4, 3, 8, 32, 32, 3)).astype(np.float32))
+    labels = jnp.asarray(r.integers(0, 4, 4))
+    step = make_fa_step(fa_model, fb_model, ft_model, opt_fa, p, accum_steps=2)
+    new_fa, _, *losses = step(fa_vars, st, fb_vars, ft_vars, jax.random.PRNGKey(0), v1, v2, clips, labels)
+    assert all(np.isfinite(float(x)) for x in losses)
+    before = jax.tree_util.tree_leaves(fa_vars["params"])[0]
+    after = jax.tree_util.tree_leaves(new_fa["params"])[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))  # params moved
