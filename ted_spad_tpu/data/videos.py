@@ -120,16 +120,24 @@ class VideoItem:
     label: int
 
 
-def load_ucf101_list(list_file: str, videos_dir: str, class_mapping_json: str) -> list[VideoItem]:
+def load_ucf101_list(
+    list_file: str, videos_dir: str, class_mapping_json: str | None = None
+) -> list[VideoItem]:
     """Parse a UCF101 trainlist/testlist split file + class mapping (ucf101_dl.py:31-38,
-    244-249): lines '<Class>/<vid>.avi[ label]'; labels come from the mapping json."""
-    classes = json.load(open(class_mapping_json))["classes"]
-    items = []
-    for line in open(list_file).read().splitlines():
-        rel = line.split(" ")[0].replace("/", os.sep)
-        cls = rel.split(os.sep)[0]
-        items.append(VideoItem(os.path.join(videos_dir, rel), int(classes[cls])))
-    return items
+    244-249): lines '<Class>/<vid>.avi[ label]'; labels come from the mapping json
+    (action_classes.json format, {"classes": {name: id}}). Without a mapping file, classes
+    are derived from the sorted directory names in the list (stable 1-based ids)."""
+    lines = [ln for ln in open(list_file).read().splitlines() if ln.strip()]
+    rels = [ln.split(" ")[0].replace("/", os.sep) for ln in lines]
+    if class_mapping_json and os.path.exists(class_mapping_json):
+        classes = json.load(open(class_mapping_json))["classes"]
+    else:
+        names = sorted({r.split(os.sep)[0] for r in rels})
+        classes = {name: i + 1 for i, name in enumerate(names)}
+    return [
+        VideoItem(os.path.join(videos_dir, rel), int(classes[rel.split(os.sep)[0]]))
+        for rel in rels
+    ]
 
 
 def synthetic_video_items(

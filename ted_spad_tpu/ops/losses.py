@@ -109,6 +109,34 @@ def nt_xent_loss(
     return -jnp.mean(logp[:, 0])
 
 
+def supcon_loss(
+    features: Array, labels: Array, temperature: float = 0.07, base_temperature: float = 0.07
+) -> Array:
+    """Supervised contrastive loss (Khosla et al. 2020) over (B, V, D) L2-normalized
+    multi-view features with integer labels.
+
+    The reference's ``loss='con'`` path stacks two normalized ft features and calls
+    ``criterion(feature, label)`` (train_action.py:60-65; train_anonymizer.py:95-101) —
+    the SupConLoss signature; the shipped criterion is plain CE (train_action.py:225), so
+    'con' is inert upstream. This implements the evident intent faithfully (SupContrast
+    'all' contrast mode) so the config option is functional here.
+    """
+    b, v, _ = features.shape
+    feats = features.astype(jnp.float32).reshape(b * v, -1)  # anchor = all views
+    labels = jnp.repeat(labels.reshape(-1), v)
+    sim = jnp.matmul(feats, feats.T, precision=jax.lax.Precision.HIGHEST) / temperature
+    # Numerical stability: subtract per-row max (SupContrast logits trick).
+    sim = sim - jax.lax.stop_gradient(sim.max(axis=1, keepdims=True))
+    n = b * v
+    self_mask = ~jnp.eye(n, dtype=bool)
+    pos_mask = (labels[:, None] == labels[None, :]) & self_mask
+    exp_sim = jnp.exp(sim) * self_mask
+    log_prob = sim - jnp.log(jnp.sum(exp_sim, axis=1, keepdims=True) + 1e-12)
+    pos_count = jnp.maximum(pos_mask.sum(axis=1), 1)
+    mean_log_prob_pos = jnp.sum(pos_mask * log_prob, axis=1) / pos_count
+    return jnp.mean(-(temperature / base_temperature) * mean_log_prob_pos)
+
+
 # ---------------------------------------------------------------------------
 # MGFN losses (anomaly_detection_mgfn/train.py)
 # ---------------------------------------------------------------------------

@@ -33,7 +33,13 @@ from ted_spad_tpu.config.params import ActionParams
 from ted_spad_tpu.data.videos import ClipDataset, ValClipDataset
 from ted_spad_tpu.models import load_fa_model, load_ft_model
 from ted_spad_tpu.ops.augment import augment_batch, center_crop_resize
-from ted_spad_tpu.ops.losses import cross_entropy_loss, nt_xent_loss, triplet_margin_loss
+from ted_spad_tpu.ops.losses import (
+    cross_entropy_loss,
+    l2_normalize,
+    nt_xent_loss,
+    supcon_loss,
+    triplet_margin_loss,
+)
 from ted_spad_tpu.ops.metrics import top1_accuracy
 from ted_spad_tpu.stages.common import LRScheduler, make_optimizer, set_learning_rate
 from ted_spad_tpu.utils.checkpoint import BestCheckpointer, load_checkpoint, restore_like, save_temp
@@ -51,6 +57,7 @@ def _apply_fa_frames(fa_model, fa_vars, video: jnp.ndarray) -> jnp.ndarray:
 def make_train_step(ft_model, optimizer, p: ActionParams, fa=None) -> Callable:
     frozen_bn = p.arch == "largei3d"  # train_action.py:39-41
     temporal = p.temporal_loss
+    use_supcon = p.loss == "con"  # SupCon on stacked normalized view feats (train_action.py:60-65)
 
     @jax.jit
     def train_step(variables, opt_state, rng, clips_u8, labels, aug_params):
@@ -70,23 +77,22 @@ def make_train_step(ft_model, optimizer, p: ActionParams, fa=None) -> Callable:
                     rngs={"dropout": rng}, mutable=mutable,
                 )
 
-            if temporal == "trip":
-                # One batched forward over all 3 views keeps the MXU busy (vs 3 calls).
+            if v > 1:
+                # One batched forward over all views keeps the MXU busy (vs v calls).
                 out, mutated = fwd(aug.reshape((b * v,) + aug.shape[2:]), ["batch_stats"])
                 logits, feats = out
                 logits = logits.reshape(b, v, -1)[:, 0]
                 feats = feats.reshape(b, v, -1)
-                loss = cross_entropy_loss(logits, labels) + p.temporal_loss_weight * triplet_margin_loss(
-                    feats[:, 0], feats[:, 1], feats[:, 2], margin=p.triplet_loss_margin
-                )
-            elif temporal == "con":
-                out, mutated = fwd(aug.reshape((b * v,) + aug.shape[2:]), ["batch_stats"])
-                logits, feats = out
-                logits = logits.reshape(b, v, -1)[:, 0]
-                feats = feats.reshape(b, v, -1)
-                loss = cross_entropy_loss(logits, labels) + p.temporal_loss_weight * nt_xent_loss(
-                    feats[:, 0], feats[:, 1]
-                )
+                if use_supcon:
+                    loss = supcon_loss(l2_normalize(feats[:, :2], axis=-1), labels)
+                else:
+                    loss = cross_entropy_loss(logits, labels)
+                if temporal == "trip":
+                    loss = loss + p.temporal_loss_weight * triplet_margin_loss(
+                        feats[:, 0], feats[:, 1], feats[:, 2], margin=p.triplet_loss_margin
+                    )
+                elif temporal == "con":
+                    loss = loss + p.temporal_loss_weight * nt_xent_loss(feats[:, 0], feats[:, 1])
             else:
                 out, mutated = fwd(aug[:, 0], ["batch_stats"])
                 logits, _ = out
@@ -225,7 +231,9 @@ def train_action(
         return {"history": {"train_loss": [], "val_acc": [acc]}, "best_acc": acc,
                 "best_path": None, "variables": variables}
 
-    views = 3 if p.temporal_loss == "trip" else (2 if p.temporal_loss == "con" else 1)
+    # View count: trip needs (anchor, positive, negative); loss='con' or temporal 'con'
+    # need 2 views (train_action.py / ucf101_dl contrastive loaders).
+    views = 3 if p.temporal_loss == "trip" else (2 if (p.loss == "con" or p.temporal_loss == "con") else 1)
     train_ds = ClipDataset(
         train_items, p, views=views, data_percentage=p.data_percentage,
         decode_w=decode_hw[1], decode_h=decode_hw[0], seed=seed,

@@ -118,12 +118,14 @@ def make_train_step(model, optimizer, p: MGFNParams, mesh=None) -> Callable:
 
 
 def make_score_fn(model) -> Callable:
-    """Jitted per-video scorer: (1, ncrops, Tb, F+1) + mask -> (Tb,) crop-mean scores."""
+    """Jitted batched scorer: (B, ncrops, Tb, F+1) + mask (B, Tb) -> (B, Tb) crop-mean
+    scores. Masked bucket padding keeps results bit-exact vs per-video native length
+    (models/mgfn.py), so same-bucket videos batch freely."""
 
     @jax.jit
     def score_fn(variables, video, mask):
         *_, scores = model.apply(variables, video, train=False, inference=True, mask=mask)
-        return scores[0, :, 0]  # (Tb,)
+        return scores[:, :, 0]  # (B, Tb)
 
     return score_fn
 
@@ -134,15 +136,38 @@ def evaluate(
     test_ds: TestFeatureDataset,
     gt: np.ndarray,
     bucket_multiple: int = 64,
+    eval_batch: int = 8,
 ) -> tuple[float, float]:
-    """Frame-level ROC/PR AUC over the concatenated test set (test.py:13-51)."""
-    all_scores = []
+    """Frame-level ROC/PR AUC over the concatenated test set (test.py:13-51).
+
+    Videos are grouped by bucket length and scored in batches of ``eval_batch`` — a
+    throughput rewrite of the reference's one-video-per-step loop (batch_size=1,
+    main.py:55-57); list order is restored before concatenation."""
+    loaded = []
     for i in range(len(test_ds)):
         feats, _ = test_ds[i]
         video, mask, t = padded_test_batch(feats, bucket_multiple)
-        s = np.asarray(score_fn(variables, video, mask))[:t]
-        all_scores.append(s)
-    clip_scores = np.concatenate(all_scores)
+        loaded.append((i, video, mask, t))
+
+    results: dict[int, np.ndarray] = {}
+    by_bucket: dict[tuple[int, int], list] = {}
+    for entry in loaded:
+        key = (entry[1].shape[2], entry[1].shape[1])  # (Tb, ncrops)
+        by_bucket.setdefault(key, []).append(entry)
+    for entries in by_bucket.values():
+        for s in range(0, len(entries), eval_batch):
+            chunk = entries[s : s + eval_batch]
+            video = np.concatenate([c[1] for c in chunk], axis=0)
+            mask = np.concatenate([c[2] for c in chunk], axis=0)
+            # Pad the batch to eval_batch for a stable compile count per bucket.
+            pad = eval_batch - video.shape[0]
+            if pad:
+                video = np.concatenate([video, np.repeat(video[-1:], pad, axis=0)])
+                mask = np.concatenate([mask, np.repeat(mask[-1:], pad, axis=0)])
+            scores = np.asarray(score_fn(variables, video, mask))
+            for row, (i, _, _, t) in enumerate(chunk):
+                results[i] = scores[row, :t]
+    clip_scores = np.concatenate([results[i] for i in range(len(test_ds))])
     pred = frame_level_scores(clip_scores, len(gt), frames_per_clip=32)
     return roc_auc(gt, pred), pr_auc(gt, pred)
 

@@ -35,7 +35,13 @@ from ted_spad_tpu.data.images import vispr_batches
 from ted_spad_tpu.data.videos import ClipDataset
 from ted_spad_tpu.models import load_fa_model, load_fb_model, load_ft_model
 from ted_spad_tpu.ops.augment import augment_batch
-from ted_spad_tpu.ops.losses import cross_entropy_loss, nt_xent_loss, triplet_margin_loss
+from ted_spad_tpu.ops.losses import (
+    cross_entropy_loss,
+    l2_normalize,
+    nt_xent_loss,
+    supcon_loss,
+    triplet_margin_loss,
+)
 from ted_spad_tpu.stages.action_training import evaluate_action, make_eval_step
 from ted_spad_tpu.stages.common import make_optimizer, set_learning_rate
 from ted_spad_tpu.utils.checkpoint import BestCheckpointer, save_checkpoint, save_temp
@@ -84,9 +90,13 @@ def _ft_losses(ft_model, ft_vars, anon_clips, labels, p: AnonymizationParams, tr
         mutated = None
     logits = logits.reshape(b, v, -1)
     emb = emb.reshape(b, v, -1)
-    loss_ce = cross_entropy_loss(logits[:, 0], labels)
+    if p.loss == "con":
+        # SupCon variant (train_anonymizer.py:95-101): stacked normalized view features.
+        loss_cls = supcon_loss(l2_normalize(emb[:, :2], axis=-1), labels)
+    else:
+        loss_cls = cross_entropy_loss(logits[:, 0], labels)
     loss_temporal = triplet_margin_loss(emb[:, 0], emb[:, 1], emb[:, 2], margin=p.triplet_loss_margin)
-    return loss_ce + p.temporal_loss_weight * loss_temporal, loss_temporal, mutated
+    return loss_cls + p.temporal_loss_weight * loss_temporal, loss_temporal, mutated
 
 
 def _fb_loss(fb_model, fb_vars, anon_pair, p: AnonymizationParams, train: bool):

@@ -154,3 +154,26 @@ def test_i3res50_full_forward_parity():
     feat = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1)), method="extract_features")
     np.testing.assert_allclose(np.asarray(feat), ref_feat.numpy(), atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(), atol=5e-4, rtol=1e-3)
+
+
+def test_supcon_matches_naive():
+    """SupCon (Khosla et al.) vs a direct per-anchor computation."""
+    import math
+
+    from ted_spad_tpu.ops.losses import l2_normalize, supcon_loss
+
+    rng = np.random.default_rng(0)
+    f = l2_normalize(jnp.asarray(rng.normal(0, 1, (4, 2, 16)).astype(np.float32)), axis=-1)
+    labels = jnp.asarray([0, 1, 0, 1])
+    ours = float(supcon_loss(f, labels))
+    ff = np.asarray(f).reshape(8, 16)
+    ll = np.repeat([0, 1, 0, 1], 2)
+    t = 0.07
+    total = 0.0
+    for i in range(8):
+        sims = ff @ ff[i] / t
+        sims = sims - sims.max()
+        denom = sum(math.exp(sims[j]) for j in range(8) if j != i)
+        pos = [j for j in range(8) if j != i and ll[j] == ll[i]]
+        total += -sum(sims[j] - math.log(denom) for j in pos) / len(pos)
+    assert ours == pytest.approx(total / 8, abs=1e-4)
