@@ -138,7 +138,11 @@ def crop_resize_one(frames: Array, y0, x0, crop_h, crop_w, out_h: int, out_w: in
     """Antialiased crop+resize of one clip (T, H, W, C) via scale_and_translate.
 
     Equivalent to torchvision ``resized_crop(..., antialias=True)`` with bilinear kernel:
-    output pixel grid maps affinely onto the crop box.
+    output pixel grid maps affinely onto the crop box. Divergence: torchvision crops
+    before resizing, so its edge taps clamp at the crop border; this one-pass affine
+    resample's antialias taps extend a pixel past the crop into the source image —
+    interior pixels match exactly, the border row/col differs slightly (immaterial for
+    random-crop training views; the deterministic eval path crops explicitly).
     """
     scale_y = out_h / crop_h.astype(jnp.float32)
     scale_x = out_w / crop_w.astype(jnp.float32)

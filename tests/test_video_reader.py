@@ -1,0 +1,80 @@
+"""Native video decode layer tests (decord/DALI/cv2 replacement, SURVEY.md §2.3).
+
+Fixtures are pure-python Y4M files; expected pixel values go through the BT.601
+limited-range transfer that FFmpeg applies when decoding Y4M (the writer emits full-range
+YCbCr; libswscale interprets it as studio range)."""
+
+import numpy as np
+import pytest
+
+from ted_spad_tpu.data.video_reader import (
+    SyntheticVideoReader,
+    native_available,
+    open_video,
+    write_y4m,
+)
+
+needs_native = pytest.mark.skipif(not native_available(), reason="libvideodec unavailable")
+
+
+def limited_range(v: np.ndarray) -> np.ndarray:
+    """Gray value v -> what FFmpeg's limited-range Y4M decode returns for (v,v,v)."""
+    return np.clip((v.astype(np.float64) - 16.0) * 255.0 / 219.0 + 0.5, 0, 255).astype(np.uint8)
+
+
+@pytest.fixture()
+def gray_video(tmp_path):
+    frames = np.stack([np.full((48, 64, 3), (i * 4) % 250, np.uint8) for i in range(50)])
+    path = str(tmp_path / "v.y4m")
+    write_y4m(path, frames)
+    return path, frames
+
+
+@needs_native
+class TestNativeReader:
+    def test_metadata(self, gray_video):
+        path, frames = gray_video
+        with open_video(path) as vr:
+            assert len(vr) == 50
+            assert (vr.height, vr.width) == (48, 64)
+            assert vr.fps == 25.0
+
+    def test_get_batch_frame_accurate(self, gray_video):
+        path, frames = gray_video
+        with open_video(path) as vr:
+            batch = vr.get_batch([0, 7, 23, 49])
+        for row, idx in enumerate([0, 7, 23, 49]):
+            expected = limited_range(np.array(frames[idx, 0, 0, 0]))
+            assert abs(int(batch[row].mean()) - int(expected)) <= 1, (idx, batch[row].mean(), expected)
+
+    def test_read_strided(self, gray_video):
+        path, frames = gray_video
+        with open_video(path) as vr:
+            seq = vr.read_strided(4, 6, 3)  # frames 4,7,10,13,16,19
+        for row, idx in enumerate(range(4, 20, 3)):
+            expected = limited_range(np.array(frames[idx, 0, 0, 0]))
+            assert abs(int(seq[row].mean()) - int(expected)) <= 1
+
+    def test_eof_padding(self, gray_video):
+        path, _ = gray_video
+        with open_video(path) as vr:
+            seq = vr.read_strided(45, 10, 2)  # runs past EOF -> last decoded repeated
+        assert seq.shape == (10, 48, 64, 3)
+
+    def test_decoder_resize(self, gray_video):
+        path, _ = gray_video
+        with open_video(path, out_w=32, out_h=24) as vr:
+            batch = vr.get_batch([0])
+        assert batch.shape == (1, 24, 32, 3)
+
+
+class TestSyntheticReader:
+    def test_deterministic(self):
+        a = SyntheticVideoReader(num_frames=10, height=8, width=8, seed=3)
+        b = SyntheticVideoReader(num_frames=10, height=8, width=8, seed=3)
+        np.testing.assert_array_equal(a.get_batch([2, 5]), b.get_batch([2, 5]))
+
+    def test_uri_parsing(self):
+        vr = open_video("synthetic://n=12,h=16,w=20,seed=9")
+        assert len(vr) == 12
+        assert vr.get_batch([0]).shape == (1, 16, 20, 3)
