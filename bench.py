@@ -24,6 +24,10 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # Persistent compile cache: repeated driver runs skip the slow first compile.
+    jax.config.update("jax_compilation_cache_dir", ".jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from ted_spad_tpu.config.params import FeatureExtractionParams
