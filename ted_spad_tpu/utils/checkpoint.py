@@ -28,9 +28,15 @@ def _to_host(tree: Any) -> Any:
 
 
 def save_checkpoint(path: str, payload: Mapping[str, Any]) -> str:
-    """Atomically write a named-pytree dict (e.g. {'fa_model_state_dict': vars, 'epoch': 3})."""
+    """Atomically write a named-pytree dict (e.g. {'fa_model_state_dict': vars, 'epoch': 3}).
+
+    ``to_state_dict`` first: optimizer states (optax namedtuples, including
+    inject_hyperparams wrappers) become plain nested dicts msgpack can hold; restore with
+    :func:`restore_like` against a live template."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    data = flax.serialization.msgpack_serialize(_to_host(dict(payload)))
+    data = flax.serialization.msgpack_serialize(
+        flax.serialization.to_state_dict(_to_host(dict(payload)))
+    )
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
