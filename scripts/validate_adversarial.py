@@ -1,0 +1,68 @@
+"""Adversarial-dynamics validation: does anonymization reduce privacy leakage?
+
+Synthetic end-to-end check of the paper's core claim (README.md:11 — cMAP reduction
+after anonymization): train the 3-model adversarial stage, then train two privacy
+attackers — one on raw images, one on fa-anonymized images — and compare cMAP.
+Expected: cMAP(anonymized) < cMAP(raw). Observed on the synthetic task (4 epochs
+adversarial, 3 epochs attack, CPU): 0.455 raw -> 0.418 anonymized.
+
+Usage: ``python scripts/validate_adversarial.py --cpu [--epochs 4]``
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+from scripts._common import base_parser, setup_platform
+
+
+def main() -> None:
+    ap = base_parser(__doc__)
+    args = ap.parse_args()
+    setup_platform(args)
+
+    import tempfile
+
+    from ted_spad_tpu.config.params import AnonymizationParams, PrivacyParams
+    from ted_spad_tpu.data.images import SyntheticImageSource
+    from ted_spad_tpu.data.videos import synthetic_video_items
+    from ted_spad_tpu.stages.anonymization_training import train_anonymizer
+    from ted_spad_tpu.stages.privacy_training import train_privacy
+
+    save = args.save_dir if args.save_dir != "saved_models" else tempfile.mkdtemp()
+    ep = args.epochs or 4
+
+    ano = AnonymizationParams(
+        run_id="validate_anon", num_classes=4, num_frames=8, reso_h=32, reso_w=32,
+        batch_size=2, batch_size_vispr=8, v_batch_size=2, num_modes=2,
+        compute_dtype="float32", save_acc_threshold=-1.0, learning_rate=1e-4,
+    )
+    anon = train_anonymizer(
+        ano,
+        train_items=synthetic_video_items(12, 4, num_frames=48, h=48, w=64, seed=args.seed),
+        val_items=synthetic_video_items(6, 4, num_frames=48, h=48, w=64, seed=args.seed + 1),
+        vispr_source=SyntheticImageSource(n=32, canonical=64, seed=args.seed),
+        save_dir=save, max_epochs=ep,
+    )
+
+    pp = PrivacyParams(reso_h=32, reso_w=32, batch_size=8, v_batch_size=8,
+                       compute_dtype="float32", warmup=1, learning_rate=1e-3)
+    tr = SyntheticImageSource(n=48, canonical=64, seed=args.seed)
+    va = SyntheticImageSource(n=32, canonical=64, seed=args.seed + 1)
+    raw = train_privacy(pp.replace(anon=False, run_id="validate_priv_raw"),
+                        train_source=tr, val_source=va, save_dir=save, max_epochs=3,
+                        log_fn=lambda s: None)
+    anonp = train_privacy(pp.replace(anon=True, run_id="validate_priv_anon"),
+                          train_source=tr, val_source=va, save_dir=save,
+                          fa_variables=anon["fa_variables"], max_epochs=3,
+                          log_fn=lambda s: None)
+
+    delta = raw["best_cmap"] - anonp["best_cmap"]
+    print(f"\nprivacy cMAP raw:        {raw['best_cmap']:.4f}")
+    print(f"privacy cMAP anonymized: {anonp['best_cmap']:.4f}")
+    print(f"reduction:               {delta:+.4f} ({'privacy protected' if delta > 0 else 'no gain at this scale'})")
+
+
+if __name__ == "__main__":
+    main()
