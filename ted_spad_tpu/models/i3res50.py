@@ -19,7 +19,7 @@ Layout: video ``(B, T, H, W, C)`` channels-last (reference is NCTHW).
 
 from __future__ import annotations
 
-from typing import Sequence
+
 
 import flax.linen as nn
 import jax

@@ -7,7 +7,6 @@ chosen so XLA tiles convs straight onto the MXU without transposes.
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import flax.linen as nn

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ted_spad_tpu.config.params import ReconstructionParams
-from ted_spad_tpu.data.images import ReconstructionSource, sample_image_augment_params
+from ted_spad_tpu.data.images import sample_image_augment_params
 from ted_spad_tpu.models import load_fa_model
 from ted_spad_tpu.ops.augment import augment_batch, center_crop_resize
 from ted_spad_tpu.ops.losses import l1_loss

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ted_spad_tpu.config.params import PrivacyParams
-from ted_spad_tpu.data.images import sample_image_augment_params, vispr_batches
+from ted_spad_tpu.data.images import vispr_batches
 from ted_spad_tpu.models import load_fa_model, load_fb_model
 from ted_spad_tpu.ops.augment import augment_batch, center_crop_resize
 from ted_spad_tpu.ops.losses import bce_with_logits_loss
