@@ -138,7 +138,13 @@ class VideoReader:
 
 class SyntheticVideoReader:
     """Deterministic procedural video for tests/benches: frame ``i`` is a content-varying
-    gradient keyed by (seed, i) — replaces media fixtures (SURVEY.md §4 strategy)."""
+    pattern keyed by (seed, i) — replaces media fixtures (SURVEY.md §4 strategy).
+
+    Class-learnability convention: ``seed // 1000`` selects a *stable* visual structure
+    (spatial stripe frequency + motion direction) while ``seed % 1000`` adds per-video
+    phase/offset variation — so datasets built as ``seed = label * 1000 + idx``
+    (data/videos.synthetic_video_items) carry a genuinely learnable class signal, and e2e
+    trainer tests can assert above-chance accuracy rather than mere finiteness."""
 
     def __init__(self, num_frames: int = 300, height: int = 240, width: int = 320, seed: int = 0, fps: float = 30.0):
         self._n = num_frames
@@ -147,16 +153,20 @@ class SyntheticVideoReader:
         self.fps = fps
         self.seed = seed
 
-    def __len__(self) -> int:
-        return self._n
-
     def _frame(self, i: int) -> np.ndarray:
         yy, xx = np.mgrid[0 : self.height, 0 : self.width]
-        phase = (self.seed * 97 + i) % 255
-        r = (xx * 255 // max(self.width - 1, 1) + phase) % 256
-        g = (yy * 255 // max(self.height - 1, 1) + 2 * phase) % 256
-        b = np.full_like(r, (i * 7 + self.seed) % 256)
+        cls = self.seed // 1000
+        noise = self.seed % 1000
+        freq = 1 + (cls % 5)  # class-determined stripe frequency
+        direction = 1 if cls % 2 == 0 else -1  # class-determined motion direction
+        phase = (noise * 13 + direction * i * 6) % 256
+        r = (xx * freq * 255 // max(self.width - 1, 1) + phase) % 256
+        g = (yy * freq * 255 // max(self.height - 1, 1) + 2 * phase) % 256
+        b = np.full_like(r, (i * 7 * direction + noise) % 256)
         return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+    def __len__(self) -> int:
+        return self._n
 
     def get_batch(self, indices: Sequence[int]) -> np.ndarray:
         return np.stack([self._frame(int(i) % self._n) for i in indices])
