@@ -200,9 +200,16 @@ class AnonymizationParams(VideoParams):
     def learning_rate_ft(self) -> float:
         return self.ft_lr_scale * self.learning_rate
 
+    # The reference's per-epoch LR scheduler block is commented out
+    # (train_anonymizer.py:432-450): fa/fb/ft train at CONSTANT scaled LRs even though
+    # params_anonymization.py:47 nominally says 'cosine'. Constant is the faithful
+    # default; set use_lr_schedule=True to honor the params file's cosine array.
+    use_lr_schedule: bool = False
+
     @property
     def val_array(self) -> list[int]:
-        return [1] + [2 * x for x in range(1, 50)]
+        # train_anonymizer.py:401.
+        return [1, 5, 10, 12, 15, 20, 25, 30, 35] + [40 + x * 2 for x in range(30)]
 
 
 @dataclasses.dataclass

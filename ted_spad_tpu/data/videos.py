@@ -205,6 +205,14 @@ class ClipDataset:
             n = len(vr)
             if self.views == 1:
                 idx_sets = [sample_train_clip(rng, n, self.p.num_frames, self.p.fix_skip)]
+            elif self.views == 2:
+                # 'con' pair: independent random second clip (temporal_align=False default,
+                # ucf101_dl.py:424-425); aligned when the params force it.
+                a = sample_train_clip(rng, n, self.p.num_frames, self.p.fix_skip)
+                if getattr(self.p, "temporal_align", False):
+                    idx_sets = [a, a.copy()]
+                else:
+                    idx_sets = [a, sample_train_clip(rng, n, self.p.num_frames, self.p.fix_skip)]
             else:
                 idx_sets = list(
                     sample_triplet_clips(
@@ -248,10 +256,18 @@ class ClipDataset:
                 aspect_ratio_aug=getattr(self.p, "aspect_ratio_aug", False),
                 weak=getattr(self.p, "weak_aug", False),
             )
-            # Views of one video share the crop origin (ucf101_dl.py:528-548 reuse x0/y0).
-            for field in ("y0", "x0", "crop_h", "crop_w"):
+            # Views of one video share the crop ORIGIN but keep their own crop sizes
+            # (ucf101_dl.py:516-548: x0/y0 reused, cropping_factor1[i] per view) — with
+            # shared sizes too, weak-aug triplet positives would be pixel-identical to
+            # their anchors. Sizes are clamped so every view's box stays in bounds at
+            # the shared origin (the reference lets resized_crop pad past the edge).
+            for field in ("y0", "x0"):
                 arr = getattr(aug, field).reshape(b, v)
                 arr[:, 1:] = arr[:, :1]
+            y0v = aug.y0.reshape(b, v)
+            x0v = aug.x0.reshape(b, v)
+            aug.crop_h = np.minimum(aug.crop_h.reshape(b, v), clips.shape[-3] - y0v).reshape(-1)
+            aug.crop_w = np.minimum(aug.crop_w.reshape(b, v), clips.shape[-2] - x0v).reshape(-1)
             if getattr(self.p, "frame_wise_aug", False) and not getattr(self.p, "weak_aug", False):
                 from ted_spad_tpu.ops.augment import expand_framewise
 

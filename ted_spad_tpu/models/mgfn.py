@@ -115,10 +115,16 @@ class Focus(nn.Module):
     kernel: int = 5
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(self, x: Array, train: bool = False, mask: Array | None = None) -> Array:
         b, t, _ = x.shape
         inner = self.heads * self.dim_head
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="norm")(x)
+        if mask is not None:
+            # Eval BN maps zero pads to a nonzero constant (beta - gamma*mean/sigma);
+            # re-zero them BEFORE the kernel-5 rel_pos conv so pad taps contribute
+            # exactly the zero-padding a native-length forward would see (required for
+            # the bit-exact bucketed inference guarantee — see Glance docstring).
+            h = h * mask[..., None].astype(h.dtype)
         v = _conv1d(inner, 1, use_bias=False, name="to_v")(h)
         # (B, T, inner) -> channel i = (slot c = i // heads, head g = i % heads): the
         # reference rearrange 'b (c h) t -> (b c) h t' makes head the fastest-varying axis.
@@ -164,7 +170,7 @@ class Backbone(nn.Module):
                 )(x, train, mask)
             elif self.mgfn_type == "fb":
                 attn_out = Focus(self.dim, self.heads, self.dim_head, self.kernel, name=f"attn{i}")(
-                    x, train
+                    x, train, mask
                 )
             else:
                 raise ValueError(f"unknown mgfn_type {self.mgfn_type}")

@@ -310,8 +310,8 @@ def center_crop_resize(
     by factor, resize, optional hflip. Static params -> plain jit-safe ops."""
     t, h, w, c = frames.shape[-4:]
     img = frames.astype(jnp.float32)
-    if img.max() is not None:  # always normalize to [0,1] if uint8-scaled
-        img = img / 255.0 if frames.dtype == jnp.uint8 else img
+    if frames.dtype == jnp.uint8:  # float inputs are assumed already in [0, 1]
+        img = img / 255.0
     if cropping_factor <= 1:
         if no_ar_distortion:
             ch = cw = int(min(h, w) * cropping_factor)
@@ -326,8 +326,9 @@ def center_crop_resize(
 
 
 def five_crop_corners(frames: Array, crop_h: int, crop_w: int) -> tuple[Array, Array]:
-    """threeCrop TTA extra views: top-left + bottom-left five-crop corners
-    (ucf101_dl.py:303-308 uses crops [0] and [-2])."""
+    """threeCrop TTA extra views: torchvision five_crop returns (tl, tr, bl, br, center),
+    so the reference's crops [0] and [-2] (ucf101_dl.py:303-308) are top-left and
+    BOTTOM-RIGHT."""
     tl = frames[..., :crop_h, :crop_w, :]
-    bl = frames[..., -crop_h:, :crop_w, :]
-    return tl, bl
+    br = frames[..., -crop_h:, -crop_w:, :]
+    return tl, br

@@ -107,26 +107,35 @@ def make_train_step(ft_model, optimizer, p: ActionParams, fa=None) -> Callable:
     return train_step
 
 
-def make_eval_step(ft_model, p: ActionParams, fa=None, three_crop: bool = False) -> Callable:
+def make_eval_step(
+    ft_model, p: ActionParams, fa=None, three_crop: bool = False, fa_model=None
+) -> Callable:
     """Per-view softmax. ``three_crop`` adds two corner crops to the center view and
     averages (ucf101_dl.py:297-320 threeCrop TTA; the reference five-crops the already
     center-cropped image — here the corners are taken at the crop factor on the full
-    frame, the evident intent)."""
+    frame, the evident intent).
 
-    def one_view(variables, img, hflip):
+    Two anonymizer modes: ``fa=(model, vars)`` bakes frozen fa weights into the program
+    (action eval — fa never changes); ``fa_model=...`` makes fa weights a *runtime
+    argument* (``eval_step(variables, clips, cf, hflip, fa_vars=...)``) so the anonymizer
+    stage's per-epoch fa snapshots don't trigger recompiles."""
+
+    def one_view(variables, img, hflip, fa_vars):
         if hflip:
             img = img[..., :, ::-1, :]
         view = img
         if fa is not None:
             view = _apply_fa_frames(fa[0], fa[1], view)
+        elif fa_model is not None and fa_vars is not None:
+            view = _apply_fa_frames(fa_model, fa_vars, view)
         logits, _ = ft_model.apply(variables, view, train=False)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-    def eval_step(variables, clips_u8, cropping_factor, hflip):
+    def eval_step(variables, clips_u8, cropping_factor, hflip, fa_vars=None):
         # clips_u8: (B, 1, T, H, W, C); crops + resize on device.
         img = clips_u8[:, 0].astype(jnp.float32) / 255.0
         center = center_crop_resize(img, cropping_factor, p.reso_h, p.reso_w)
-        probs = one_view(variables, center, hflip)
+        probs = one_view(variables, center, hflip, fa_vars)
         if three_crop and cropping_factor < 1.0:
             h, w = img.shape[-3], img.shape[-2]
             ch, cw = int(h * cropping_factor), int(w * cropping_factor)
@@ -137,7 +146,7 @@ def make_eval_step(ft_model, p: ActionParams, fa=None, three_crop: bool = False)
                     corner, (*corner.shape[:-3], p.reso_h, p.reso_w, corner.shape[-1]),
                     method="linear", antialias=True,
                 )
-                probs = probs + one_view(variables, view, hflip)
+                probs = probs + one_view(variables, view, hflip, fa_vars)
             probs = probs / 3.0
         return probs
 
@@ -151,6 +160,7 @@ def evaluate_action(
     p: ActionParams,
     *,
     decode_hw: tuple[int, int] = (0, 0),
+    fa_vars: Any | None = None,
 ) -> float:
     """Mode x crop x hflip sweep with per-video softmax averaging (train_action.py:330-381)."""
     sums: dict[int, np.ndarray] = {}
@@ -162,7 +172,10 @@ def evaluate_action(
             for hf in p.hflip:
                 for batch in ds.batches(p.v_batch_size):
                     probs = np.asarray(
-                        eval_step(variables, jnp.asarray(batch.clips), cropping_factor=float(cf), hflip=bool(hf))
+                        eval_step(
+                            variables, jnp.asarray(batch.clips),
+                            cropping_factor=float(cf), hflip=bool(hf), fa_vars=fa_vars,
+                        )
                     )
                     for k, vid_idx in enumerate(batch.indices):
                         vid_idx = int(vid_idx)

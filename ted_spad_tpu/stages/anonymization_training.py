@@ -281,7 +281,9 @@ def train_anonymizer(
 
     fa_step = make_fa_step(fa_model, fb_model, ft_model, opt_fa, p, accum_steps=p.accum_steps)
     fbft_step = make_fbft_step(fa_model, fb_model, ft_model, opt_fb, opt_ft, p)
-    ft_eval = make_eval_step(ft_model, p, fa=(fa_model, fa_vars))
+    # One jitted eval program; the current fa snapshot is a runtime argument (no
+    # per-validation recompile).
+    ft_eval = make_eval_step(ft_model, p, fa_model=fa_model)
 
     video_ds = ClipDataset(
         train_items, p, views=3, data_percentage=p.data_percentage,
@@ -300,9 +302,13 @@ def train_anonymizer(
 
     for epoch in range(1, epochs + 1):
         t0 = time.time()
-        # Cosine LR arrays per model (train_anonymizer.py:432-450 via params arrays).
-        arr = p.cosine_lr_array
-        scale = arr[min(epoch - 1, len(arr) - 1)]
+        # Constant LRs by default — the reference's scheduler block is commented out
+        # (train_anonymizer.py:432-450); cosine only when explicitly enabled.
+        if p.use_lr_schedule:
+            arr = p.cosine_lr_array
+            scale = arr[min(epoch - 1, len(arr) - 1)]
+        else:
+            scale = 1.0
         st_fa = set_learning_rate(st_fa, scale * p.learning_rate_fa)
         st_fb = set_learning_rate(st_fb, scale * p.learning_rate_fb)
         st_ft = set_learning_rate(st_ft, scale * p.learning_rate_ft)
@@ -357,8 +363,7 @@ def train_anonymizer(
                 os.path.join(save_dir, p.run_id, "visuals", f"epoch_{epoch}.png"),
                 (p.reso_h, p.reso_w),
             )
-            ft_eval = make_eval_step(ft_model, p, fa=(fa_model, fa_vars))  # fresh fa snapshot
-            acc = evaluate_action(ft_eval, ft_vars, val_items, p, decode_hw=decode_hw)
+            acc = evaluate_action(ft_eval, ft_vars, val_items, p, decode_hw=decode_hw, fa_vars=fa_vars)
             history["val_acc"].append(acc)
             best.maybe_save(
                 acc, epoch,

@@ -99,7 +99,10 @@ def train_privacy(
     opt_state = optimizer.init(variables["params"])
     train_step, eval_step = make_steps(fb_model, fa_apply, optimizer, (p.reso_h, p.reso_w))
 
-    sched = LRScheduler(p.replace(lr_scheduler="patience_based"))
+    # Reference LR control (train_privacy.py:197-213): warmup * lr / 5 ("pretrained
+    # drop"), then divide by lr_reduce_factor whenever the non-improvement counter
+    # exceeds lr_patience — the warmup_drop mode, at base lr/5.
+    sched = LRScheduler(p.replace(lr_scheduler="warmup_drop", learning_rate=p.learning_rate / 5))
     best = BestCheckpointer(os.path.join(save_dir, p.run_id), "model", mode="max")
     epochs = max_epochs or p.num_epochs
     history = {"train_loss": [], "val_loss": [], "cmap": [], "f1": []}

@@ -107,6 +107,9 @@ def test_padded_inference_matches_native(tmp_path):
     t_true = 45
     x = np.random.default_rng(0).normal(0, 1, (1, 2, t_true, 33)).astype(np.float32)
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), inference=True)
+    # Perturb BN running stats so eval-mode BN(0) != 0 — the Focus blocks must still
+    # keep pad positions exactly zero (they re-mask after their norm).
+    variables = jax.tree_util.tree_map(lambda v: v + 0.3, variables)
 
     *_, native = model.apply(variables, jnp.asarray(x), inference=True)
     padded = np.zeros((1, 2, 64, 33), np.float32)
