@@ -228,6 +228,10 @@ def train_anomaly_detection(
         writer.scalars({"loss": loss_val, "roc_auc": auc_roc, "pr_auc": auc_pr}, epoch)
         metric = auc_pr if select_pr else auc_roc
         saved = best.maybe_save(metric, epoch, {"mgfn_model_state_dict": variables})
+        if saved:
+            # Best-record artifact (save_best_record, utils/utils.py:94-99).
+            writer.text(f"best_record_epoch_{epoch}",
+                        f"epoch: {epoch}\ntest_AUC: {auc_roc}\ntest_PR: {auc_pr}\n")
         log_fn(
             f"epoch {epoch}: loss {loss_val:.4f} roc_auc {auc_roc:.4f} pr_auc {auc_pr:.4f} "
             f"({time.time() - t0:.1f}s){' [saved]' if saved else ''}"
