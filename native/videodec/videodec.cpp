@@ -108,6 +108,18 @@ int to_rgb(Decoder* dec, uint8_t* out) {
 // Seek so that the decoder's next emitted frame index is <= target. Conservative:
 // seek to the keyframe at/before the target timestamp, reset counters by decoding
 // with frame-accurate skip.
+// Restart demuxing from the beginning with an exact frame counter — the frame-accurate
+// fallback when pts-based index recovery is unavailable or overshoots.
+int rewind_to_start(Decoder* dec) {
+  int ret = av_seek_frame(dec->fmt, dec->stream_idx, 0, AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_BYTE);
+  if (ret < 0) ret = av_seek_frame(dec->fmt, dec->stream_idx, 0, AVSEEK_FLAG_BACKWARD);
+  if (ret < 0) return ret;
+  avcodec_flush_buffers(dec->codec);
+  dec->next_frame = 0;
+  ret = decode_next(dec);  // frame 0
+  return ret <= 0 ? (ret < 0 ? ret : AVERROR_EOF) : 1;
+}
+
 int seek_to(Decoder* dec, int64_t target) {
   AVStream* st = dec->fmt->streams[dec->stream_idx];
   const double tb = av_q2d(st->time_base);
@@ -115,16 +127,21 @@ int seek_to(Decoder* dec, int64_t target) {
                          ? static_cast<int64_t>(target / dec->fps / tb)
                          : 0;
   int ret = av_seek_frame(dec->fmt, dec->stream_idx, ts, AVSEEK_FLAG_BACKWARD);
-  if (ret < 0) return ret;
+  if (ret < 0) return rewind_to_start(dec);
   avcodec_flush_buffers(dec->codec);
   // After a keyframe seek we do not know the exact frame index; recover it from the
-  // first decoded frame's pts.
+  // first decoded frame's pts. If the pts is missing or the recovered index already
+  // passed the target (VFR / imprecise avg fps), fall back to an exact linear decode
+  // from frame 0 — slow but never mislabels frames.
   ret = decode_next(dec);
   if (ret <= 0) return ret < 0 ? ret : AVERROR_EOF;
   const int64_t pts = dec->frame->best_effort_timestamp;
-  int64_t idx = 0;
-  if (pts != AV_NOPTS_VALUE && tb > 0 && dec->fps > 0) {
-    idx = static_cast<int64_t>(pts * tb * dec->fps + 0.5);
+  if (pts == AV_NOPTS_VALUE || tb <= 0 || dec->fps <= 0) {
+    return rewind_to_start(dec);
+  }
+  const int64_t idx = static_cast<int64_t>(pts * tb * dec->fps + 0.5);
+  if (idx > target) {
+    return rewind_to_start(dec);
   }
   dec->next_frame = idx + 1;
   return 1;

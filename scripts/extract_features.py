@@ -31,10 +31,12 @@ def main() -> None:
     from ted_spad_tpu.stages.feature_extraction import extract_features
 
     p = finalize_params(FeatureExtractionParams(), args)
-    p = p.replace(
-        saved_model_fa=args.saved_model_fa, saved_model_ft=args.saved_model_ft,
-        anonymized=not args.raw,
-    )
+    overrides = {"anonymized": not args.raw}
+    if args.saved_model_fa:  # CLI only overrides when given (params files win otherwise)
+        overrides["saved_model_fa"] = args.saved_model_fa
+    if args.saved_model_ft:
+        overrides["saved_model_ft"] = args.saved_model_ft
+    p = p.replace(**overrides)
     if args.synthetic:
         p = p.replace(num_frames=8, reso_h=32, reso_w=32, compute_dtype="float32")
         uris = [f"synthetic://n=120,h=48,w=64,seed={i}" for i in range(4)]

@@ -74,8 +74,11 @@ def main() -> None:
             if i < 300:  # make_gt_xd.py:29 — first 300 normal
                 parts.append(xd_video_gt(nf, None))
             else:
-                key = next(k for k in annos if os.path.basename(path)[:-5] in k)
-                parts.append(xd_video_gt(nf, annos[key]))
+                stem = os.path.basename(path)[:-4]  # strip '.npy' (lines here are pre-stripped)
+                matches = [k for k in annos if stem in k]
+                if not matches:
+                    raise SystemExit(f"no XD annotation line matches {stem!r}")
+                parts.append(xd_video_gt(nf, annos[matches[0]]))
 
     gt = np.concatenate(parts)
     np.save(args.out, gt)

@@ -60,7 +60,7 @@ def main() -> None:
         n = jnp.asarray(r.normal(0, 1, (8, 2, 32, 257)).astype(np.float32))
         a = jnp.asarray(r.normal(0, 1, (8, 2, 32, 257)).astype(np.float32))
         args5 = (variables, st, jax.random.PRNGKey(0), n, jnp.zeros(8), a, jnp.ones(8))
-        step(*args5)
+        jax.block_until_ready(step(*args5))  # compile + warmup outside the trace
         with profile_trace(out):
             for _ in range(5):
                 v2, st2, loss = step(*args5)

@@ -60,6 +60,9 @@ def main() -> None:
         run_id="pipe_anon", num_classes=4, num_frames=8, reso_h=32, reso_w=32,
         batch_size=2, batch_size_vispr=4, v_batch_size=2, num_modes=2,
         compute_dtype="float32", save_acc_threshold=-1.0,
+        # Chain stage 1's artifact (the reference seeds fa from fa_recon.pth,
+        # params_anonymization.py): this exercises the on-disk ckpt handoff.
+        saved_model_fa=rec["best_path"],
     )
     train_items = synthetic_video_items(8, 4, num_frames=48, h=48, w=64, seed=args.seed)
     val_items = synthetic_video_items(4, 4, num_frames=48, h=48, w=64, seed=args.seed + 1)
@@ -72,17 +75,22 @@ def main() -> None:
     print("== stage 3/5: feature extraction with the trained fa")
     fx = FeatureExtractionParams(num_frames=8, reso_h=32, reso_w=32, anonymized=True,
                                  compute_dtype="float32")
-    # Surveillance-style test videos: abnormal ones get a bright burst segment.
+    # Synthetic surveillance set: "abnormal" videos use a different procedural class
+    # family than "normal" ones (SyntheticVideoReader seed//1000 structure), so MGFN has
+    # a real feature-level signal; abnormal videos FIRST (the abnormal-first list split,
+    # datasets/dataset.py:26-48). Their opening clips are marked anomalous in the gt —
+    # a pipeline plumbing check, not a benchmark.
     uris, gts = [], []
-    rng = np.random.default_rng(args.seed)
-    for i in range(6):
-        n = 96
-        uris.append(f"synthetic://n={n},h=48,w=64,seed={100 + i}")
-        clips = len(range(0, n - 15 + 1, 16))
+    n = 96
+    clips = len(range(0, n - 15 + 1, 16))
+    for i in range(3):  # abnormal family: class 7 structure
+        uris.append(f"synthetic://n={n},h=48,w=64,seed={7000 + i}")
         m = np.zeros(clips * 32, np.float32)
-        if i % 2 == 0:
-            m[: 2 * 32] = 1.0  # first two clips "anomalous" (synthetic marker)
+        m[: 2 * 32] = 1.0
         gts.append(m)
+    for i in range(3):  # normal family: class 1 structure
+        uris.append(f"synthetic://n={n},h=48,w=64,seed={1000 + i}")
+        gts.append(np.zeros(clips * 32, np.float32))
     feats = extract_features(
         fx, uris, os.path.join(save, "pipe_features"),
         fa_variables=anon["fa_variables"], ft_variables=anon["ft_variables"],
@@ -93,7 +101,7 @@ def main() -> None:
     print("== stage 4/5: MGFN anomaly training on extracted features")
     import ted_spad_tpu.data.features as fm
 
-    paths = list(feats["saved"].values())
+    paths = [feats["saved"][u] for u in uris]  # uris order == gt order (decode order is nondeterministic)
     train_list = os.path.join(save, "pipe_train.list")
     test_list = os.path.join(save, "pipe_test.list")
     open(train_list, "w").write("\n".join(paths) + "\n")

@@ -27,7 +27,9 @@ def main() -> None:
 
     p = finalize_params(PrivacyParams(), args)
     if args.anon:
-        p = p.replace(anon=True, saved_model=args.saved_model_fa)
+        p = p.replace(anon=True)
+        if args.saved_model_fa:
+            p = p.replace(saved_model=args.saved_model_fa)
     if args.synthetic:
         p = p.replace(reso_h=64, reso_w=64, batch_size=8, v_batch_size=8, compute_dtype="float32")
         train_src = SyntheticImageSource(n=64, num_pa=p.num_pa, seed=args.seed)

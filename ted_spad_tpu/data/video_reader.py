@@ -103,9 +103,13 @@ class VideoReader:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         if n < len(idx):
-            # EOF short-read: palindrome-pad with the last decoded frame (the loaders
-            # apply their own padding policies on top, ucf101_dl.py:550-567).
-            out[n:] = out[max(n - 1, 0)]
+            # EOF short-read: pad with the last decoded frame (the loaders apply their
+            # own padding policies on top, ucf101_dl.py:550-567). A zero-frame read
+            # (bad seek / overestimated frame count) must not leak uninitialized memory.
+            if n == 0:
+                out[:] = 0
+            else:
+                out[n:] = out[n - 1]
         return out
 
     def read_strided(self, start: int, n: int, stride: int) -> np.ndarray:
@@ -115,7 +119,10 @@ class VideoReader:
             self._h, start, n, stride, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         )
         if got < n:
-            out[got:] = out[max(got - 1, 0)]
+            if got == 0:
+                out[:] = 0
+            else:
+                out[got:] = out[got - 1]
         return out
 
     def close(self):
