@@ -115,3 +115,19 @@ def test_anonymization_stage_e2e(tmp_path):
     assert np.isfinite(h["loss_fb"]).all(), h
     assert np.isfinite(h["loss_ft"]).all(), h
     assert res["best_path"] is not None  # threshold disabled -> best saved
+
+
+def test_framewise_aug_params_per_frame():
+    """frame_wise_aug resamples color params per frame but keeps per-clip crops
+    (ucf101_dl.py:127-135)."""
+    from ted_spad_tpu.config.params import ActionParams
+    from ted_spad_tpu.data.videos import ClipDataset, synthetic_video_items
+
+    p = ActionParams(num_frames=4, fix_skip=2, reso_h=32, reso_w=32, num_classes=3, frame_wise_aug=True)
+    ds = ClipDataset(synthetic_video_items(6, 3, num_frames=40, h=48, w=64), p, views=1)
+    b = next(iter(ds.batches(4, seed=0)))
+    assert b.params.y0.shape[0] == 4 * 1 * 4  # per-frame leading dim
+    y0 = b.params.y0.reshape(4, 4)
+    np.testing.assert_array_equal(y0[:, 0], y0[:, 1])  # crop shared across frames
+    # Color draws differ across frames with overwhelming probability.
+    assert len(np.unique(b.params.contrast)) > 4
