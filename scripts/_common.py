@@ -27,8 +27,19 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
     ap.add_argument("--devices", type=int, default=0,
                     help="virtual CPU device count (0 = real devices)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard batches over all visible devices (data-parallel)")
     ap.add_argument("--seed", type=int, default=0)
     return ap
+
+
+def maybe_mesh(args):
+    """Build the 1-D data-parallel mesh when --mesh is set (after setup_platform)."""
+    if not getattr(args, "mesh", False):
+        return None
+    from ted_spad_tpu.parallel import data_parallel_mesh
+
+    return data_parallel_mesh()
 
 
 def setup_platform(args) -> None:

@@ -11,7 +11,7 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
-from scripts._common import base_parser, finalize_params, setup_platform
+from scripts._common import base_parser, finalize_params, maybe_mesh, setup_platform
 
 
 def main() -> None:
@@ -50,7 +50,7 @@ def main() -> None:
 
     res = extract_features(
         p, uris, args.out_dir, batch_size=args.batch, decode_hw=decode_hw,
-        shard_id=args.shard_id, num_shards=args.num_shards,
+        shard_id=args.shard_id, num_shards=args.num_shards, mesh=maybe_mesh(args),
     )
     print(f"done; {res['clips']} clips @ {res['clips_per_sec']:.2f} clips/s")
 

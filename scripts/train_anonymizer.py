@@ -10,7 +10,7 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
-from scripts._common import base_parser, finalize_params, setup_platform
+from scripts._common import base_parser, finalize_params, maybe_mesh, setup_platform
 
 
 def main() -> None:
@@ -56,6 +56,7 @@ def main() -> None:
     res = train_anonymizer(
         p, train_items=train_items, val_items=val_items, vispr_source=vispr,
         save_dir=args.save_dir, max_epochs=args.epochs, seed=args.seed,
+        mesh=maybe_mesh(args),
     )
     print(f"done; best acc {res['best_acc']} at {res['best_path']}")
 

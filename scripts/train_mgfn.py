@@ -11,7 +11,7 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
-from scripts._common import base_parser, setup_platform
+from scripts._common import base_parser, maybe_mesh, setup_platform
 
 
 def main() -> None:
@@ -93,6 +93,7 @@ def main() -> None:
 
     res = train_anomaly_detection(
         p, save_dir=args.save_dir, gt=gt, max_epochs=args.epochs, shuffle=args.shuffle,
+        mesh=maybe_mesh(args),
     )
     print(f"done; best {res['best_metric']:.4f} at {res['best_path']}")
 

@@ -192,6 +192,12 @@ def train_anomaly_detection(
 
     sample_feats, _ = normal_ds[0]
     ncrops = sample_feats.shape[0]
+    if mesh is not None and p.batch_size % mesh.devices.size != 0:
+        log_fn(
+            f"mesh disabled: batch_size {p.batch_size} not divisible by "
+            f"{mesh.devices.size} devices"
+        )
+        mesh = None
     model, variables = load_mgfn_model(p, ncrops=ncrops)
     optimizer = make_optimizer(p)
     opt_state = optimizer.init(variables["params"])
