@@ -137,6 +137,7 @@ class ActionParams(VideoParams):
     # Anonymized-eval variant (train_anonymized_action.py): run every clip through frozen fa.
     anonymized: bool = False
     saved_model_fa: str | None = None
+    arch_fa: str = "unet++"
 
     @property
     def val_array(self) -> list[int]:
@@ -243,6 +244,7 @@ class FeatureExtractionParams(StageParams):
     anonymized: bool = True
     saved_model_fa: str | None = None
     saved_model_ft: str | None = None
+    arch_fa: str = "unet++"
     arch_ft: str = "largei3d"
     # DALI-equivalent windowing (dali_extraction.py:72-73): 16 frames, stride 2, step 32.
     @property

@@ -86,6 +86,11 @@ class TestFeatureDataset:
         name = os.path.basename(self.paths[i])[:-4]
         return feats, name
 
+    def peek_shape(self, i: int) -> tuple[int, ...]:
+        """Array shape without loading data (mmap header read) — lets the eval loop
+        bucket videos by length before streaming features chunk by chunk."""
+        return np.load(self.paths[i], mmap_mode="r").shape
+
 
 def paired_train_batches(
     normal: FeatureDataset,

@@ -84,6 +84,7 @@ def load_ft_model(
     rng: jax.Array | None = None,
     clip_shape: tuple[int, int, int] = (16, 224, 224),
     dtype: str | None = "bfloat16",
+    dropout_rate: float | None = None,
 ):
     """Utility (action) model factory (model_loaders.py:56-91). Returns (module, variables).
 
@@ -92,9 +93,11 @@ def load_ft_model(
     shipped here.
     """
     if arch == "i3d":
-        model = InceptionI3d(num_classes=num_classes, dtype=_dtype(dtype))
+        kw = {"dropout_rate": dropout_rate} if dropout_rate is not None else {}
+        model = InceptionI3d(num_classes=num_classes, dtype=_dtype(dtype), **kw)
     elif arch == "largei3d":
-        model = WrapperI3D(num_classes=num_classes, dtype=_dtype(dtype))
+        kw = {"dropout_rate": dropout_rate} if dropout_rate is not None else {}
+        model = WrapperI3D(num_classes=num_classes, dtype=_dtype(dtype), **kw)
     elif arch == "r3d_18":
         model = R3D18(num_classes=num_classes, dtype=_dtype(dtype))
     elif arch == "mvitv2":

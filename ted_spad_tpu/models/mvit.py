@@ -148,14 +148,18 @@ class MViTBlock(nn.Module):
                 nn.LayerNorm(dtype=self.dtype, name="norm_skip")(x)
             )
         if tuple(self.q_stride) != (1, 1, 1):
-            # Skip path must pool like q: max-pool the grid tokens.
+            # Skip path pools like q: kernel s+1 (pad k//2) per strided dim, 1 otherwise
+            # (torchvision mvit kernel_skip rule) — a stride-(1,2,2) transition must NOT
+            # mix adjacent-time tokens in the residual.
             b, n, c = shortcut.shape
             t, hh, ww = thw
             cls, grid = shortcut[:, :1], shortcut[:, 1:]
             grid = grid.reshape(b, t, hh, ww, c)
+            kernel = tuple(s + 1 if s > 1 else 1 for s in self.q_stride)
+            pads = [(0, 0)] + [(k // 2, k // 2) for k in kernel] + [(0, 0)]
             grid = nn.max_pool(
-                jnp.pad(grid, [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)], constant_values=-jnp.inf),
-                (3, 3, 3), strides=tuple(self.q_stride), padding="VALID",
+                jnp.pad(grid, pads, constant_values=-jnp.inf),
+                kernel, strides=tuple(self.q_stride), padding="VALID",
             )
             grid = grid.reshape(b, -1, c)
             shortcut = jnp.concatenate([cls, grid], axis=1)

@@ -205,11 +205,12 @@ def train_action(
     ft_model, variables = load_ft_model(
         p.arch, p.saved_model, num_classes=p.num_classes,
         clip_shape=(p.num_frames, p.reso_h, p.reso_w), dtype=p.compute_dtype,
+        dropout_rate=p.ft_dropout if p.ft_dropout else None,
     )
     fa = None
     if p.anonymized:
         fa_model, fa_vars = load_fa_model(
-            p.saved_model_fa, image_size=(p.reso_h, p.reso_w), dtype=p.compute_dtype
+            p.saved_model_fa, arch=p.arch_fa, image_size=(p.reso_h, p.reso_w), dtype=p.compute_dtype
         )
         if fa_variables is not None:
             fa_vars = fa_variables

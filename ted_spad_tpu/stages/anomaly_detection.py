@@ -140,23 +140,29 @@ def evaluate(
 ) -> tuple[float, float]:
     """Frame-level ROC/PR AUC over the concatenated test set (test.py:13-51).
 
-    Videos are grouped by bucket length and scored in batches of ``eval_batch`` — a
-    throughput rewrite of the reference's one-video-per-step loop (batch_size=1,
-    main.py:55-57); list order is restored before concatenation."""
-    loaded = []
+    Videos are grouped by bucket length (header-only shape peeks — no data load) and their
+    features stream through in ``eval_batch`` chunks, so host memory stays O(eval_batch)
+    instead of the whole padded test set — a throughput+memory rewrite of the reference's
+    one-video-per-step loop (batch_size=1, main.py:55-57); list order is restored before
+    concatenation."""
+    from ted_spad_tpu.data.features import bucket_length
+
+    by_bucket: dict[tuple[int, int], list[int]] = {}
     for i in range(len(test_ds)):
-        feats, _ = test_ds[i]
-        video, mask, t = padded_test_batch(feats, bucket_multiple)
-        loaded.append((i, video, mask, t))
+        shape = test_ds.peek_shape(i)
+        t = shape[0]
+        ncrops = shape[1] if len(shape) == 3 else 1
+        by_bucket.setdefault((bucket_length(t, bucket_multiple), ncrops), []).append(i)
 
     results: dict[int, np.ndarray] = {}
-    by_bucket: dict[tuple[int, int], list] = {}
-    for entry in loaded:
-        key = (entry[1].shape[2], entry[1].shape[1])  # (Tb, ncrops)
-        by_bucket.setdefault(key, []).append(entry)
-    for entries in by_bucket.values():
-        for s in range(0, len(entries), eval_batch):
-            chunk = entries[s : s + eval_batch]
+    for indices in by_bucket.values():
+        for s in range(0, len(indices), eval_batch):
+            chunk_ids = indices[s : s + eval_batch]
+            chunk = []
+            for i in chunk_ids:
+                feats, _ = test_ds[i]
+                video, mask, t = padded_test_batch(feats, bucket_multiple)
+                chunk.append((i, video, mask, t))
             video = np.concatenate([c[1] for c in chunk], axis=0)
             mask = np.concatenate([c[2] for c in chunk], axis=0)
             # Pad the batch to eval_batch for a stable compile count per bucket.

@@ -34,7 +34,14 @@ from ted_spad_tpu.config.params import AnonymizationParams
 from ted_spad_tpu.data.images import vispr_batches
 from ted_spad_tpu.data.videos import ClipDataset
 from ted_spad_tpu.models import load_fa_model, load_fb_model, load_ft_model
+import functools
+
 from ted_spad_tpu.ops.augment import augment_batch
+
+# Jit the device-side augmentation once (static output size): the adversarial stage calls
+# it three times per step (vispr pair + video views); eager dispatch would serialize the
+# crop/resize/color chain op-by-op on the host.
+_jit_augment = functools.partial(jax.jit, static_argnames=("out_h", "out_w"))(augment_batch)
 from ted_spad_tpu.ops.losses import (
     cross_entropy_loss,
     l2_normalize,
@@ -324,11 +331,11 @@ def train_anonymizer(
             rng, k1, k2 = jax.random.split(rng, 3)
             # Device-side augmentation for both modalities.
             v_imgs = jnp.asarray(vispr_b.images)
-            v1 = augment_batch(v_imgs[:, None], vispr_b.params.to_device(), p.reso_h, p.reso_w)[:, 0]
-            v2 = augment_batch(v_imgs[:, None], vispr_b.params2.to_device(), p.reso_h, p.reso_w)[:, 0]
+            v1 = _jit_augment(v_imgs[:, None], vispr_b.params.to_device(), out_h=p.reso_h, out_w=p.reso_w)[:, 0]
+            v2 = _jit_augment(v_imgs[:, None], vispr_b.params2.to_device(), out_h=p.reso_h, out_w=p.reso_w)[:, 0]
             b, v = video_b.clips.shape[:2]
             flat = jnp.asarray(video_b.clips).reshape((b * v,) + video_b.clips.shape[2:])
-            clips = augment_batch(flat, video_b.params.to_device(), p.reso_h, p.reso_w)
+            clips = _jit_augment(flat, video_b.params.to_device(), out_h=p.reso_h, out_w=p.reso_w)
             clips = clips.reshape((b, v) + clips.shape[1:])
             labels = jnp.asarray(video_b.labels)
             if mesh is not None and b % mesh.devices.size == 0 and v1.shape[0] % mesh.devices.size == 0:

@@ -76,7 +76,7 @@ class LRScheduler:
         if mode == "cosine":
             arr = p.cosine_lr_array
             self.lr = arr[min(epoch - 1, len(arr) - 1)] * self.base_lr
-        elif getattr(p, "warmup", 0) and epoch - 1 < len(p.warmup_array):
+        elif mode != "warmup_drop" and getattr(p, "warmup", 0) and epoch - 1 < len(p.warmup_array):
             self.lr = p.warmup_array[epoch - 1] * self.base_lr
         elif mode == "loss_based" and train_loss is not None:
             if 0.5 <= train_loss < 1.0:
@@ -91,11 +91,16 @@ class LRScheduler:
                 self.patience_count = 0
                 self.scheduler_step += 1
         elif mode == "warmup_drop":
-            # train_reconstruction.py:138-161: warmup then divide by scheduled_drop after
-            # lr_patience non-improving epochs.
+            # train_reconstruction.py:144 / train_privacy.py:197: warmup_array[epoch]
+            # while epoch < warmup (1-based epoch skips index 0 — faithful), then divide
+            # by the stage's drop factor after lr_patience non-improving epochs
+            # (scheduled_drop for reconstruction, lr_reduce_factor for privacy).
+            if epoch < getattr(p, "warmup", 0):
+                self.lr = p.warmup_array[min(epoch, len(p.warmup_array) - 1)] * self.base_lr
             if self.patience_count > p.lr_patience:
                 self.patience_count = 0
-                self.lr = self.lr / getattr(p, "scheduled_drop", 5)
+                drop = getattr(p, "scheduled_drop", None) or getattr(p, "lr_reduce_factor", 5)
+                self.lr = self.lr / drop
         return self.lr
 
     def update(self, train_loss: float):

@@ -112,7 +112,7 @@ def train_reconstruction(
         if val_source is not None and epoch in val_array:
             vlosses = []
             vorder = np.arange(len(val_source))
-            for s in range(max(len(vorder) // p.batch_size, 1)):
+            for s in range((len(vorder) + p.batch_size - 1) // p.batch_size):  # full split
                 idx = vorder[s * p.batch_size : (s + 1) * p.batch_size]
                 if len(idx) == 0:
                     break

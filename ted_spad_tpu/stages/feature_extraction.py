@@ -196,7 +196,7 @@ def extract_features(
     fa = None
     if p.anonymized:
         fa_model, fa_vars = load_fa_model(
-            p.saved_model_fa, image_size=(p.reso_h, p.reso_w), dtype=p.compute_dtype
+            p.saved_model_fa, arch=p.arch_fa, image_size=(p.reso_h, p.reso_w), dtype=p.compute_dtype
         )
         if fa_variables is not None:
             fa_vars = fa_variables
