@@ -20,7 +20,7 @@ from typing import Any, Sequence
 
 def _linspace(a: float, b: float, n: int) -> list[float]:
     if n == 1:
-        return [b]
+        return [a]  # np.linspace(a, b, 1) == [a]
     step = (b - a) / (n - 1)
     return [a + step * i for i in range(n)]
 

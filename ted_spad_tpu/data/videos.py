@@ -259,15 +259,11 @@ class ClipDataset:
             # Views of one video share the crop ORIGIN but keep their own crop sizes
             # (ucf101_dl.py:516-548: x0/y0 reused, cropping_factor1[i] per view) — with
             # shared sizes too, weak-aug triplet positives would be pixel-identical to
-            # their anchors. Sizes are clamped so every view's box stays in bounds at
-            # the shared origin (the reference lets resized_crop pad past the edge).
+            # their anchors. Boxes may hang past the edge at the shared origin; the
+            # affine resample zero-pads there, like the reference's resized_crop.
             for field in ("y0", "x0"):
                 arr = getattr(aug, field).reshape(b, v)
                 arr[:, 1:] = arr[:, :1]
-            y0v = aug.y0.reshape(b, v)
-            x0v = aug.x0.reshape(b, v)
-            aug.crop_h = np.minimum(aug.crop_h.reshape(b, v), clips.shape[-3] - y0v).reshape(-1)
-            aug.crop_w = np.minimum(aug.crop_w.reshape(b, v), clips.shape[-2] - x0v).reshape(-1)
             if getattr(self.p, "frame_wise_aug", False) and not getattr(self.p, "weak_aug", False):
                 from ted_spad_tpu.ops.augment import expand_framewise
 

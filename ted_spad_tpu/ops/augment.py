@@ -91,10 +91,12 @@ def sample_augment_params(
     else:
         crop_h = (src_h * cf[:, 0]).astype(np.int32)
         crop_w = (src_w * cf[:, 0]).astype(np.int32)
-        if aspect_ratio_aug:
-            crop_h = (src_h * cf[:, 1]).astype(np.int32)
     x0 = (rng.random(batch) * (src_w - crop_w + 1)).astype(np.int32)
-    y0 = (rng.random(batch) * (src_h - crop_h + 1)).astype(np.int32)
+    # aspect_ratio_aug widens only the y0 SAMPLING range via cf[1]; the crop size stays
+    # cf[0] (ucf101_dl.py:104-107 vs :157) — the box may hang past the bottom edge, which
+    # the affine resample zero-pads exactly like torchvision's out-of-bounds crop.
+    y_range_crop = (src_h * cf[:, 1]).astype(np.int32) if aspect_ratio_aug and not no_ar_distortion else crop_h
+    y0 = (rng.random(batch) * np.maximum(src_h - y_range_crop + 1, 1)).astype(np.int32)
 
     r = rng.random((batch, 10))
     off = np.zeros(batch, bool)
@@ -273,32 +275,27 @@ def augment_batch(frames: Array, params: dict[str, Array], out_h: int = 224, out
     return jax.vmap(lambda f, p: augment_clip(f, p, out_h, out_w))(frames, params)
 
 
-def expand_framewise(params: AugmentParams, num_frames: int, rng: np.random.Generator) -> AugmentParams:
-    """Per-clip draw -> per-frame draw: crop/hflip fields tile across frames (sampled once
-    per clip, ucf101_dl.py:95-122), color/erase fields resample per frame (:127-135)."""
-    import dataclasses as _dc
-
+def expand_framewise(
+    params: AugmentParams, num_frames: int, rng: np.random.Generator, erase_size: int = 19
+) -> AugmentParams:
+    """Per-clip draw -> per-frame draw (ucf101_dl.py:125-135): the random GATES stay fixed
+    per clip (random_array is sampled once outside the frame loop), while the color
+    FACTORS and the erase sizes (randint(erase_size/2, erase_size)) resample per frame;
+    crop box and erase positions tile across frames."""
     b = params.y0.shape[0]
     tiled = {}
-    for f in _dc.fields(params):
+    for f in dataclasses.fields(params):
         arr = getattr(params, f.name)
         tiled[f.name] = np.repeat(arr, num_frames, axis=0)
     out = AugmentParams(**tiled)
     n = b * num_frames
-    # Resample the per-frame fields with the reference distributions.
     out.contrast = rng.uniform(0.9, 1.1, n)
     out.hue = rng.uniform(-0.05, 0.05, n)
     out.saturation = rng.uniform(0.9, 1.1, n)
     out.brightness = rng.uniform(0.9, 1.1, n)
     out.gamma = rng.uniform(0.85, 1.15, n)
-    r = rng.random((n, 10))
-    out.do_contrast = r[:, 0] < 0.125
-    out.do_hue = r[:, 1] < 0.15
-    out.do_saturation = r[:, 2] < 0.15
-    out.do_brightness = r[:, 3] < 0.15
-    out.do_grayscale = r[:, 4] > 0.9
-    out.do_gamma = (r[:, 4] > 0.9) & (r[:, 5] > 0.25)
-    out.do_erase = r[:, 7:9] < 0.4
+    out.erase_h = rng.integers(erase_size // 2, erase_size, size=(n, 2)).astype(np.int32)
+    out.erase_w = rng.integers(erase_size // 2, erase_size, size=(n, 2)).astype(np.int32)
     return out
 
 
@@ -317,7 +314,9 @@ def center_crop_resize(
             ch = cw = int(min(h, w) * cropping_factor)
         else:
             ch, cw = int(h * cropping_factor), int(w * cropping_factor)
-        y0, x0 = (h - ch) // 2 + (h - ch) % 2, (w - cw) // 2 + (w - cw) % 2  # torch center_crop rounding
+        # torchvision center_crop: crop_top = int(round((h-ch)/2.0)) with python
+        # round-half-to-EVEN — (d//2)+(d%2) would shift one pixel when d % 4 == 1.
+        y0, x0 = int(round((h - ch) / 2.0)), int(round((w - cw) / 2.0))
         img = img[..., y0 : y0 + ch, x0 : x0 + cw, :]
     img = jax.image.resize(img, (*img.shape[:-3], out_h, out_w, c), method="linear", antialias=True)
     if hflip:

@@ -84,10 +84,13 @@ def fused_preprocess(
     Equivalent to ``center_crop_resize(clips/255, cropping_factor, out_h, out_w)``
     (val transform, dali_extraction.py:38-50) as a single Pallas program."""
     b, t, h, w, c = clips_u8.shape
-    ch = int(h * cropping_factor)
-    cw = int(w * cropping_factor)
-    y0 = (h - ch) // 2 + (h - ch) % 2
-    x0 = (w - cw) // 2 + (w - cw) % 2
+    if cropping_factor <= 1:
+        ch, cw = int(h * cropping_factor), int(w * cropping_factor)
+    else:  # >1 means no crop (ucf101_dl.py:300; matches center_crop_resize)
+        ch, cw = h, w
+    # torchvision center_crop rounding: round-half-to-even.
+    y0 = int(round((h - ch) / 2.0))
+    x0 = int(round((w - cw) / 2.0))
     ry = jnp.asarray(resize_matrix(h, out_h, y0, ch, scale_gain=1.0 / 255.0))
     rxt = jnp.asarray(resize_matrix(w, out_w, x0, cw)).T  # (W_src, W_dst)
 

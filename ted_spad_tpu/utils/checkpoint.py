@@ -56,7 +56,13 @@ def restore_like(template: Any, state: Any) -> Any:
 
 
 class BestCheckpointer:
-    """Best-metric gated saving (e.g. ``model_{E}_bestAcc_{acc}`` train_anonymizer.py:518)."""
+    """Best-metric gated saving (e.g. ``model_{E}_bestAcc_{acc}`` train_anonymizer.py:518).
+
+    With a ``threshold``, EVERY qualifying epoch is saved (the reference anonymizer writes
+    a checkpoint for each validation epoch with acc > 0.6, train_anonymizer.py:511-525 —
+    artifacts accumulate; downstream stages often want a later, more-anonymizing epoch).
+    Without one, only strict improvements are saved. ``best_path`` always tracks the
+    best-metric artifact."""
 
     def __init__(self, directory: str, name: str, mode: str = "max", threshold: float | None = None):
         self.directory = directory
@@ -68,10 +74,8 @@ class BestCheckpointer:
 
     def is_better(self, value: float) -> bool:
         if self.threshold is not None:
-            if self.mode == "max" and value <= self.threshold:
-                return False
-            if self.mode == "min" and value >= self.threshold:
-                return False
+            # Threshold mode: qualify on the threshold alone (save-all-above semantics).
+            return value > self.threshold if self.mode == "max" else value < self.threshold
         if self.best is None:
             return True
         return value > self.best if self.mode == "max" else value < self.best
@@ -79,10 +83,13 @@ class BestCheckpointer:
     def maybe_save(self, value: float, epoch: int, payload: Mapping[str, Any]) -> str | None:
         if not self.is_better(value):
             return None
-        self.best = value
+        improved = self.best is None or (value > self.best if self.mode == "max" else value < self.best)
         path = os.path.join(self.directory, f"{self.name}_{epoch}_best_{value:.4f}.ckpt")
-        self.best_path = save_checkpoint(path, {**payload, "epoch": epoch, "metric": value})
-        return self.best_path
+        saved = save_checkpoint(path, {**payload, "epoch": epoch, "metric": value})
+        if improved:
+            self.best = value
+            self.best_path = saved
+        return saved
 
 
 def save_temp(directory: str, name: str, payload: Mapping[str, Any]) -> str:

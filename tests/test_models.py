@@ -155,9 +155,16 @@ class TestCheckpointRoundtrip:
     def test_best_checkpointer_gating(self, tmp_path):
         from ted_spad_tpu.utils.checkpoint import BestCheckpointer
 
-        bc = BestCheckpointer(str(tmp_path), "model", threshold=0.6)  # train_anonymizer.py:511
+        # Threshold mode saves EVERY epoch above 0.6 (train_anonymizer.py:511-525 —
+        # artifacts accumulate); best_path tracks the best metric.
+        bc = BestCheckpointer(str(tmp_path), "model", threshold=0.6)
         assert bc.maybe_save(0.5, 1, {"x": np.zeros(2)}) is None
         p1 = bc.maybe_save(0.65, 2, {"x": np.zeros(2)})
         assert p1 is not None
-        assert bc.maybe_save(0.62, 3, {"x": np.zeros(2)}) is None
-        assert bc.maybe_save(0.70, 4, {"x": np.zeros(2)}) is not None
+        assert bc.maybe_save(0.62, 3, {"x": np.zeros(2)}) is not None  # above threshold -> saved
+        p4 = bc.maybe_save(0.70, 4, {"x": np.zeros(2)})
+        assert p4 is not None and bc.best_path == p4 and bc.best == 0.70
+        # No threshold: strict improvements only (privacy cMAP / action acc stages).
+        bc2 = BestCheckpointer(str(tmp_path), "model2")
+        assert bc2.maybe_save(0.5, 1, {"x": np.zeros(2)}) is not None
+        assert bc2.maybe_save(0.4, 2, {"x": np.zeros(2)}) is None
