@@ -133,8 +133,14 @@ def make_eval_step(
 
     def eval_step(variables, clips_u8, cropping_factor, hflip, fa_vars=None):
         # clips_u8: (B, 1, T, H, W, C); crops + resize on device.
+        # cropping_factor == 1 evaluates at reso/0.8 (e.g. 280 for 224) with no crop —
+        # the reference's output_reso quirk (ucf101_dl.py:229-234).
+        if cropping_factor == 1:
+            out_h, out_w = int(p.reso_h / 0.8), int(p.reso_w / 0.8)
+        else:
+            out_h, out_w = p.reso_h, p.reso_w
         img = clips_u8[:, 0].astype(jnp.float32) / 255.0
-        center = center_crop_resize(img, cropping_factor, p.reso_h, p.reso_w)
+        center = center_crop_resize(img, cropping_factor, out_h, out_w)
         probs = one_view(variables, center, hflip, fa_vars)
         if three_crop and cropping_factor < 1.0:
             h, w = img.shape[-3], img.shape[-2]
