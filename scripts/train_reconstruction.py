@@ -18,6 +18,7 @@ def main() -> None:
     ap.add_argument("--ucf_frames_glob", type=str, default=None)
     ap.add_argument("--vispr_dir", type=str, default=None)
     ap.add_argument("--arch_fa", type=str, default=None, choices=["unet", "unet++"])
+    ap.add_argument("--restart", action="store_true", help="resume from the rolling temp ckpt")
     args = ap.parse_args()
     setup_platform(args)
 
@@ -46,7 +47,7 @@ def main() -> None:
 
     res = train_reconstruction(
         p, train_source=train_src, val_source=val_src, save_dir=args.save_dir,
-        max_epochs=args.epochs, seed=args.seed,
+        max_epochs=args.epochs, restart=args.restart, seed=args.seed,
     )
     print(f"done; best: {res['best_path']}")
 

@@ -68,14 +68,27 @@ def train_reconstruction(
     val_source: Any | None = None,
     save_dir: str = "saved_models",
     max_epochs: int | None = None,
+    restart: bool = False,
     log_fn: Callable[[str], None] = print,
     seed: int = 0,
 ) -> dict[str, Any]:
     """Stage driver (train_reconstruction.py:95-216). Sources provide
-    ``get_batch(indices) -> (images_u8, _)`` (file-backed or synthetic)."""
+    ``get_batch(indices) -> (images_u8, _)`` (file-backed or synthetic). ``restart``
+    resumes from the rolling temp checkpoint with its epoch/lr_counter state
+    (train_reconstruction.py:104-119 saved_model path)."""
     model, variables = load_fa_model(arch=p.arch_fa, image_size=(p.reso_h, p.reso_w), dtype=p.compute_dtype)
     optimizer = make_optimizer("adam", p.learning_rate)
     opt_state = optimizer.init(variables["params"])
+    start_epoch = 1
+    if restart:
+        from ted_spad_tpu.utils.checkpoint import load_checkpoint, restore_like
+
+        temp = os.path.join(save_dir, p.run_id, "model_temp.ckpt")
+        if os.path.exists(temp):
+            state = load_checkpoint(temp)
+            variables = restore_like(variables, state["fa_model_state_dict"])
+            start_epoch = int(state.get("epoch", 1))
+            log_fn(f"restarted from {temp} at epoch {start_epoch}")
     train_step = make_train_step(model, optimizer, (p.reso_h, p.reso_w))
     eval_step = make_eval_step(model, (p.reso_h, p.reso_w))
 
@@ -92,7 +105,7 @@ def train_reconstruction(
 
     writer = MetricsWriter(save_dir, p.run_id)
 
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         lr = sched.epoch_lr(epoch)
         opt_state = set_learning_rate(opt_state, lr)
