@@ -203,10 +203,16 @@ class WrapperI3D(nn.Module):
 
     num_classes: int = 102
     use_nl: bool = False
+    dropout_rate: float = 0.5
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.i3d = I3Res50(num_classes=self.num_classes, use_nl=self.use_nl, dtype=self.dtype)
+        self.i3d = I3Res50(
+            num_classes=self.num_classes,
+            use_nl=self.use_nl,
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+        )
         self.mlp = MlpHead(dtype=self.dtype)
 
     def __call__(self, x: Array, train: bool = False, frozen_bn: bool = False):
