@@ -10,6 +10,17 @@ from __future__ import annotations
 
 import jax
 
+# Cluster-environment markers jax.distributed auto-detects from: TPU pod metadata,
+# coordinator env, Slurm/OpenMPI launchers. If any is set, auto-init failure is real.
+CLUSTER_MARKERS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "SLURM_JOB_NUM_NODES",
+    "OMPI_COMM_WORLD_SIZE",
+)
+
 
 def initialize_distributed(
     coordinator_address: str | None = None,
@@ -17,12 +28,21 @@ def initialize_distributed(
     process_id: int | None = None,
 ) -> None:
     """Initialize multi-host JAX if requested (TPU pods auto-discover with no args).
-    Safe to call on a single host (no-op when no coordinator is configured)."""
+
+    With no arguments, auto-discovery failure is only swallowed in the known
+    single-process case (no cluster env configured) — a pod host that *should* have
+    discovered its coordinator re-raises instead of silently degrading to one process.
+    With explicit arguments, failures always raise."""
     if coordinator_address is None and num_processes is None:
+        import os
+
+        in_cluster = any(os.environ.get(k) for k in CLUSTER_MARKERS)
         try:
             jax.distributed.initialize()
-        except Exception:  # noqa: BLE001 — single-process dev environment
-            return
+        except Exception:  # noqa: BLE001
+            if in_cluster:
+                raise  # misconfigured coordinator on a real pod must not pass silently
+            return  # known single-process dev environment
     else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

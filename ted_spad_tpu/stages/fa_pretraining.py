@@ -106,46 +106,54 @@ def train_reconstruction(
     writer = MetricsWriter(save_dir, p.run_id)
 
     for epoch in range(start_epoch, epochs + 1):
-        t0 = time.time()
-        lr = sched.epoch_lr(epoch)
-        opt_state = set_learning_rate(opt_state, lr)
-        order = rng.permutation(len(train_source))
-        losses = []
-        for s in range(len(order) // p.batch_size):
-            idx = order[s * p.batch_size : (s + 1) * p.batch_size]
-            images, _ = train_source.get_batch(idx)
-            aug = sample_image_augment_params(rng, len(idx), src_size, p.reso_h, p.reso_w)
-            variables, opt_state, loss = train_step(variables, opt_state, jnp.asarray(images), aug.to_device())
-            losses.append(float(loss))
-        train_loss = float(np.mean(losses)) if losses else float("nan")
-        sched.update(train_loss)
-        history["train_loss"].append(train_loss)
+        # Per-epoch crash-resilience: a bad epoch (corrupt batch, transient IO) logs its
+        # traceback and the run continues (train_reconstruction.py:149-203).
+        try:
+            t0 = time.time()
+            lr = sched.epoch_lr(epoch)
+            opt_state = set_learning_rate(opt_state, lr)
+            order = rng.permutation(len(train_source))
+            losses = []
+            for s in range(len(order) // p.batch_size):
+                idx = order[s * p.batch_size : (s + 1) * p.batch_size]
+                images, _ = train_source.get_batch(idx)
+                aug = sample_image_augment_params(rng, len(idx), src_size, p.reso_h, p.reso_w)
+                variables, opt_state, loss = train_step(variables, opt_state, jnp.asarray(images), aug.to_device())
+                losses.append(float(loss))
+            train_loss = float(np.mean(losses)) if losses else float("nan")
+            sched.update(train_loss)
+            history["train_loss"].append(train_loss)
 
-        val_loss = float("nan")
-        if val_source is not None and epoch in val_array:
-            vlosses = []
-            vorder = np.arange(len(val_source))
-            for s in range((len(vorder) + p.batch_size - 1) // p.batch_size):  # full split
-                idx = vorder[s * p.batch_size : (s + 1) * p.batch_size]
-                if len(idx) == 0:
-                    break
-                images, _ = val_source.get_batch(idx)
-                vl, *_ = eval_step(variables, jnp.asarray(images))
-                vlosses.append(float(vl))
-            val_loss = float(np.mean(vlosses)) if vlosses else float("nan")
-            history["val_loss"].append(val_loss)
-            best.maybe_save(
-                val_loss, epoch, {"fa_model_state_dict": variables, "optimizer": None, "lr_counter": sched.patience_count}
+            val_loss = float("nan")
+            if val_source is not None and epoch in val_array:
+                vlosses = []
+                vorder = np.arange(len(val_source))
+                for s in range((len(vorder) + p.batch_size - 1) // p.batch_size):  # full split
+                    idx = vorder[s * p.batch_size : (s + 1) * p.batch_size]
+                    if len(idx) == 0:
+                        break
+                    images, _ = val_source.get_batch(idx)
+                    vl, *_ = eval_step(variables, jnp.asarray(images))
+                    vlosses.append(float(vl))
+                val_loss = float(np.mean(vlosses)) if vlosses else float("nan")
+                history["val_loss"].append(val_loss)
+                best.maybe_save(
+                    val_loss, epoch, {"fa_model_state_dict": variables, "optimizer": None, "lr_counter": sched.patience_count}
+                )
+            save_temp(
+                os.path.join(save_dir, p.run_id),
+                "model",
+                {"fa_model_state_dict": variables, "epoch": epoch + 1, "lr_counter": sched.patience_count},
             )
-        save_temp(
-            os.path.join(save_dir, p.run_id),
-            "model",
-            {"fa_model_state_dict": variables, "epoch": epoch + 1, "lr_counter": sched.patience_count},
-        )
-        writer.scalars({"lr": lr, "train_l1": train_loss, "val_l1": val_loss}, epoch)
-        log_fn(
-            f"epoch {epoch}: lr {lr:.2e} train_l1 {train_loss:.4f} val_l1 {val_loss:.4f} "
-            f"({time.time() - t0:.1f}s)"
-        )
+            writer.scalars({"lr": lr, "train_l1": train_loss, "val_l1": val_loss}, epoch)
+            log_fn(
+                f"epoch {epoch}: lr {lr:.2e} train_l1 {train_loss:.4f} val_l1 {val_loss:.4f} "
+                f"({time.time() - t0:.1f}s)"
+            )
+        except Exception:  # noqa: BLE001 — match reference multi-day-run survival
+            import traceback
+
+            log_fn(f"epoch {epoch} failed; continuing:\n{traceback.format_exc()}")
+            continue
 
     return {"history": history, "best_path": best.best_path, "variables": variables}

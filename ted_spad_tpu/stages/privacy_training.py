@@ -111,53 +111,60 @@ def train_privacy(
     writer = MetricsWriter(save_dir, p.run_id)
 
     for epoch in range(1, epochs + 1):
-        t0 = time.time()
-        lr = sched.epoch_lr(epoch)
-        opt_state = set_learning_rate(opt_state, lr)
-        losses = []
-        for batch in vispr_batches(
-            train_source, p.batch_size, train=True, out_h=p.reso_h, out_w=p.reso_w, seed=seed + epoch
-        ):
-            variables, opt_state, loss = train_step(
-                variables, opt_state, jnp.asarray(batch.images), jnp.asarray(batch.labels), batch.params.to_device()
+        # Per-epoch crash-resilience (train_privacy.py:202-256): log and continue.
+        try:
+            t0 = time.time()
+            lr = sched.epoch_lr(epoch)
+            opt_state = set_learning_rate(opt_state, lr)
+            losses = []
+            for batch in vispr_batches(
+                train_source, p.batch_size, train=True, out_h=p.reso_h, out_w=p.reso_w, seed=seed + epoch
+            ):
+                variables, opt_state, loss = train_step(
+                    variables, opt_state, jnp.asarray(batch.images), jnp.asarray(batch.labels), batch.params.to_device()
+                )
+                losses.append(float(loss))
+            train_loss = float(np.mean(losses)) if losses else float("nan")
+            sched.update(train_loss)
+            history["train_loss"].append(train_loss)
+
+            # Validation: full-split cMAP (train_privacy.py:70-119).
+            all_scores, all_labels, vlosses = [], [], []
+            for batch in vispr_batches(
+                val_source, p.v_batch_size, train=False, out_h=p.reso_h, out_w=p.reso_w, drop_last=False
+            ):
+                vl, scores = eval_step(variables, jnp.asarray(batch.images), jnp.asarray(batch.labels))
+                vlosses.append(float(vl))
+                all_scores.append(np.asarray(scores))
+                all_labels.append(batch.labels)
+            scores = np.concatenate(all_scores)
+            labels = np.concatenate(all_labels)
+            cmap, per_class = macro_average_precision(labels, scores)
+            prec, rec, f1 = multilabel_prf1(labels, scores)
+            history["val_loss"].append(float(np.mean(vlosses)))
+            history["cmap"].append(cmap)
+            history["f1"].append(f1)
+
+            saved = best.maybe_save(
+                cmap,
+                epoch,
+                {
+                    "fb_model_state_dict": variables,
+                    "prediction_scores": scores,
+                    "ground_truth": labels,
+                    "per_class_ap": per_class,
+                },
             )
-            losses.append(float(loss))
-        train_loss = float(np.mean(losses)) if losses else float("nan")
-        sched.update(train_loss)
-        history["train_loss"].append(train_loss)
+            writer.scalars({"lr": lr, "train_loss": train_loss, "cmap": cmap, "f1": f1}, epoch)
+            save_temp(os.path.join(save_dir, p.run_id), "model", {"fb_model_state_dict": variables, "epoch": epoch + 1})
+            log_fn(
+                f"epoch {epoch}: lr {lr:.2e} loss {train_loss:.4f} cMAP {cmap:.4f} "
+                f"P/R/F1 {prec:.3f}/{rec:.3f}/{f1:.3f} ({time.time() - t0:.1f}s){' [saved]' if saved else ''}"
+            )
+        except Exception:  # noqa: BLE001 — match reference multi-day-run survival
+            import traceback
 
-        # Validation: full-split cMAP (train_privacy.py:70-119).
-        all_scores, all_labels, vlosses = [], [], []
-        for batch in vispr_batches(
-            val_source, p.v_batch_size, train=False, out_h=p.reso_h, out_w=p.reso_w, drop_last=False
-        ):
-            vl, scores = eval_step(variables, jnp.asarray(batch.images), jnp.asarray(batch.labels))
-            vlosses.append(float(vl))
-            all_scores.append(np.asarray(scores))
-            all_labels.append(batch.labels)
-        scores = np.concatenate(all_scores)
-        labels = np.concatenate(all_labels)
-        cmap, per_class = macro_average_precision(labels, scores)
-        prec, rec, f1 = multilabel_prf1(labels, scores)
-        history["val_loss"].append(float(np.mean(vlosses)))
-        history["cmap"].append(cmap)
-        history["f1"].append(f1)
-
-        saved = best.maybe_save(
-            cmap,
-            epoch,
-            {
-                "fb_model_state_dict": variables,
-                "prediction_scores": scores,
-                "ground_truth": labels,
-                "per_class_ap": per_class,
-            },
-        )
-        writer.scalars({"lr": lr, "train_loss": train_loss, "cmap": cmap, "f1": f1}, epoch)
-        save_temp(os.path.join(save_dir, p.run_id), "model", {"fb_model_state_dict": variables, "epoch": epoch + 1})
-        log_fn(
-            f"epoch {epoch}: lr {lr:.2e} loss {train_loss:.4f} cMAP {cmap:.4f} "
-            f"P/R/F1 {prec:.3f}/{rec:.3f}/{f1:.3f} ({time.time() - t0:.1f}s){' [saved]' if saved else ''}"
-        )
+            log_fn(f"epoch {epoch} failed; continuing:\n{traceback.format_exc()}")
+            continue
 
     return {"history": history, "best_cmap": best.best, "best_path": best.best_path, "variables": variables}

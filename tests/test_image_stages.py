@@ -50,6 +50,65 @@ class TestImagePipeline:
         assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
 
+class FlakySource:
+    """Source whose get_batch raises on specific call numbers (1-indexed) — models a
+    corrupt batch / transient IO failure (train_reconstruction.py:149-203 scenario)."""
+
+    def __init__(self, inner, failing_calls=(1,)):
+        self.inner = inner
+        self.failing_calls = set(failing_calls)
+        self.calls = 0
+
+    def __len__(self):
+        return len(self.inner)
+
+    def get_batch(self, indices):
+        self.calls += 1
+        if self.calls in self.failing_calls:
+            raise RuntimeError("injected decode failure")
+        return self.inner.get_batch(indices)
+
+
+def test_reconstruction_survives_bad_epoch(tmp_path):
+    """Per-epoch crash-resilience (train_reconstruction.py:149-203): a failing batch
+    iterator kills one epoch, not the run."""
+    from ted_spad_tpu.stages.fa_pretraining import train_reconstruction
+
+    p = ReconstructionParams(
+        run_id="recon_flaky", batch_size=4, reso_h=32, reso_w=32, warmup=2,
+        arch_fa="unet", compute_dtype="float32",
+    )
+    # The driver probes get_batch once pre-loop for src_size; call 2 is epoch 1's
+    # first train batch — fail exactly that one.
+    src = FlakySource(SyntheticImageSource(n=8, canonical=48), failing_calls=(2,))
+    logs = []
+    res = train_reconstruction(
+        p, train_source=src, val_source=None, save_dir=str(tmp_path),
+        max_epochs=2, log_fn=logs.append,
+    )
+    assert any("failed; continuing" in m for m in logs)
+    assert len(res["history"]["train_loss"]) == 1  # epoch 1 lost, epoch 2 completed
+    assert np.isfinite(res["history"]["train_loss"]).all()
+
+
+def test_privacy_survives_bad_epoch(tmp_path):
+    from ted_spad_tpu.stages.privacy_training import train_privacy
+
+    p = PrivacyParams(
+        run_id="priv_flaky", batch_size=4, v_batch_size=4, reso_h=32, reso_w=32,
+        num_pa=7, warmup=1, compute_dtype="float32",
+    )
+    src = FlakySource(SyntheticImageSource(n=8, num_pa=7, canonical=48), failing_calls=(1,))
+    val = SyntheticImageSource(n=8, num_pa=7, canonical=48, seed=1)
+    logs = []
+    res = train_privacy(
+        p, train_source=src, val_source=val, save_dir=str(tmp_path),
+        max_epochs=2, log_fn=logs.append,
+    )
+    assert any("failed; continuing" in m for m in logs)
+    assert len(res["history"]["cmap"]) == 1
+
+
 @pytest.mark.slow
 def test_reconstruction_stage_e2e(tmp_path):
     from ted_spad_tpu.stages.fa_pretraining import train_reconstruction
