@@ -31,7 +31,10 @@ def main() -> None:
     from ted_spad_tpu.config.params import apply_params_file
     from ted_spad_tpu.stages.anomaly_detection import train_anomaly_detection
 
-    p = apply_params_file(MGFNParams(datasetname=args.datasetname), args.params)
+    # --datasetname applies the full option.py:33-58 preset block (lists, gt name,
+    # feature_size 1024 for XD, 16 frames/clip gt for ST); --params and the explicit
+    # list/gt flags below still override.
+    p = apply_params_file(MGFNParams.for_dataset(args.datasetname), args.params)
     gt = None
     if args.synthetic:
         import tempfile
@@ -61,11 +64,11 @@ def main() -> None:
             path = f"{tmp}/t{i}.npy"
             np.save(path, x)
             test_paths.append(path)
-            gts.append(np.repeat(m.astype(np.float32), 32))
+            gts.append(np.repeat(m.astype(np.float32), p.frames_per_clip))
         open(f"{tmp}/train.list", "w").write("\n".join(train_paths) + "\n")
         open(f"{tmp}/test.list", "w").write("\n".join(test_paths) + "\n")
         gt = np.concatenate(gts)
-        fm.ABNORMAL_SPLIT["UCF"] = 8
+        fm.ABNORMAL_SPLIT[p.datasetname] = 8
         p = p.replace(
             rgb_list=f"{tmp}/train.list", test_rgb_list=f"{tmp}/test.list",
             feature_size=64, dims=(16, 32, 64), depths=(1, 1, 1), dim_head=16,
@@ -87,7 +90,10 @@ def main() -> None:
         model, variables = load_mgfn_model(p, saved_model_file=args.test_only)
         test_ds = TestFeatureDataset(p.test_rgb_list, p.datasetname)
         gt_arr = gt if gt is not None else np.load(p.gt)
-        roc, pr = evaluate(make_score_fn(model), variables, test_ds, gt_arr)
+        roc, pr = evaluate(
+            make_score_fn(model), variables, test_ds, gt_arr,
+            frames_per_clip=p.frames_per_clip,
+        )
         print(f"roc_auc {roc:.4f} pr_auc {pr:.4f}")
         return
 

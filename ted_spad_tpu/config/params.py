@@ -295,8 +295,41 @@ class MGFNParams:
     test_rgb_list: str = "data/ucf-i3d-test.list"
     gt: str = "data/gt-ucf.npy"
     model_name: str = "mgfn_ucf"
+    # Original frames covered per extracted clip when expanding clip scores to frame-level
+    # gt: UCF/XD 32 (make_gt_ucf.py:25, make_gt_xd.py:26), ST 16 (make_gt_sh.py:32).
+    frames_per_clip: int = 32
     seed: int = 0
     compute_dtype: str = "float32"  # MGFN is tiny; keep f32 (matches reference numerics)
+
+    # Per-dataset blocks the reference keeps commented in/out of option.py:33-58.
+    DATASET_PRESETS = {
+        "UCF": dict(
+            datasetname="UCF", feature_size=2048, frames_per_clip=32,
+            rgb_list="data/ucf-i3d.list", test_rgb_list="data/ucf-i3d-test.list",
+            gt="data/gt-ucf.npy", model_name="mgfn_ucf",
+        ),
+        "ST": dict(
+            datasetname="ST", feature_size=2048, frames_per_clip=16,
+            rgb_list="data/shanghai-i3d.list", test_rgb_list="data/shanghai-i3d-test.list",
+            gt="data/gt-sh.npy", model_name="mgfn_sh",
+        ),
+        "XD": dict(
+            datasetname="XD", feature_size=1024, frames_per_clip=32,
+            rgb_list="data/xd-i3d.list", test_rgb_list="data/xd-i3d-test.list",
+            gt="data/gt-xd.npy", model_name="mgfn_xd",
+        ),
+    }
+
+    @classmethod
+    def for_dataset(cls, name: str, **overrides: Any) -> "MGFNParams":
+        """Preset constructor mirroring option.py:33-58's per-dataset blocks
+        (XD: 1024-d features + PR-AUC model selection; ST: 16 frames/clip gt)."""
+        key = {"ucf": "UCF", "st": "ST", "sh": "ST", "shanghai": "ST", "xd": "XD"}.get(
+            name.lower(), name.upper()
+        )
+        if key not in cls.DATASET_PRESETS:
+            raise ValueError(f"unknown MGFN dataset {name!r}; expected UCF, ST, or XD")
+        return cls(**{**cls.DATASET_PRESETS[key], **overrides})
 
     @property
     def abnormal_split(self) -> int:

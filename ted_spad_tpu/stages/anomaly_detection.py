@@ -117,12 +117,23 @@ def make_train_step(model, optimizer, p: MGFNParams, mesh=None) -> Callable:
     return train_step
 
 
-def make_score_fn(model) -> Callable:
+def make_score_fn(model, mesh=None) -> Callable:
     """Jitted batched scorer: (B, ncrops, Tb, F+1) + mask (B, Tb) -> (B, Tb) crop-mean
     scores. Masked bucket padding keeps results bit-exact vs per-video native length
-    (models/mgfn.py), so same-bucket videos batch freely."""
+    (models/mgfn.py), so same-bucket videos batch freely.
 
-    @jax.jit
+    With ``mesh``, the eval batch is sharded over the data axis and params replicated,
+    so per-epoch test scoring scales with training instead of becoming the serial tail."""
+    jit_kw = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        rep = NamedSharding(mesh, P())
+        sh = NamedSharding(mesh, P(axis))
+        jit_kw = dict(in_shardings=(rep, sh, sh), out_shardings=sh)
+
+    @functools.partial(jax.jit, **jit_kw)
     def score_fn(variables, video, mask):
         *_, scores = model.apply(variables, video, train=False, inference=True, mask=mask)
         return scores[:, :, 0]  # (B, Tb)
@@ -137,6 +148,7 @@ def evaluate(
     gt: np.ndarray,
     bucket_multiple: int = 64,
     eval_batch: int = 8,
+    frames_per_clip: int = 32,
 ) -> tuple[float, float]:
     """Frame-level ROC/PR AUC over the concatenated test set (test.py:13-51).
 
@@ -174,7 +186,7 @@ def evaluate(
             for row, (i, _, _, t) in enumerate(chunk):
                 results[i] = scores[row, :t]
     clip_scores = np.concatenate([results[i] for i in range(len(test_ds))])
-    pred = frame_level_scores(clip_scores, len(gt), frames_per_clip=32)
+    pred = frame_level_scores(clip_scores, len(gt), frames_per_clip=frames_per_clip)
     return roc_auc(gt, pred), pr_auc(gt, pred)
 
 
@@ -208,7 +220,9 @@ def train_anomaly_detection(
     optimizer = make_optimizer(p)
     opt_state = optimizer.init(variables["params"])
     train_step = make_train_step(model, optimizer, p, mesh=mesh)
-    score_fn = make_score_fn(model)
+    score_fn = make_score_fn(model, mesh=mesh)
+    # Eval batch must land one-or-more whole rows per device when sharded.
+    eval_batch = 8 if mesh is None else max(8 // mesh.devices.size, 1) * mesh.devices.size
 
     # Best-ckpt selection: PR AUC for XD, ROC AUC otherwise (main.py:107-116).
     select_pr = p.datasetname == "XD"
@@ -232,7 +246,10 @@ def train_anomaly_detection(
             rng, step_rng = jax.random.split(rng)
             variables, opt_state, loss = train_step(variables, opt_state, step_rng, *map(jnp.asarray, batch))
             loss_val = float(loss)
-        auc_roc, auc_pr = evaluate(score_fn, variables, test_ds, gt)
+        auc_roc, auc_pr = evaluate(
+            score_fn, variables, test_ds, gt,
+            eval_batch=eval_batch, frames_per_clip=p.frames_per_clip,
+        )
         history["epoch"].append(epoch)
         history["test_AUC"].append(auc_roc)
         history["test_PR"].append(auc_pr)

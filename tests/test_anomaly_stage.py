@@ -15,15 +15,20 @@ from ted_spad_tpu.config.params import MGFNParams
 from ted_spad_tpu.stages.anomaly_detection import train_anomaly_detection
 
 
-def _write_synthetic_dataset(tmp_path, n_abnormal=12, n_normal=12, n_test=8, f=64, seed=0):
+def _write_synthetic_dataset(
+    tmp_path, n_abnormal=12, n_normal=12, n_test=8, f=64, seed=0, ncrops=None,
+    frames_per_clip=32,
+):
     """Build .npy features + .list files + frame-level gt mimicking the UCF layout
-    (abnormal-first train list, dataset.py:26-48; gt = 32 frames per clip, test.py:32)."""
+    (abnormal-first train list, dataset.py:26-48; gt = 32 frames per clip, test.py:32).
+    ``ncrops`` writes (T, ncrops, F) multi-crop arrays (the XD 5-crop layout)."""
     rng = np.random.default_rng(seed)
     feat_dir = tmp_path / "feats"
     feat_dir.mkdir()
 
     def make_video(abnormal: bool, t: int) -> np.ndarray:
-        x = rng.normal(0, 1, (t, f)).astype(np.float32)
+        shape = (t, f) if ncrops is None else (t, ncrops, f)
+        x = rng.normal(0, 1, shape).astype(np.float32)
         anomaly_mask = np.zeros(t, bool)
         if abnormal:
             start = int(rng.integers(0, max(t - 4, 1)))
@@ -50,7 +55,7 @@ def _write_synthetic_dataset(tmp_path, n_abnormal=12, n_normal=12, n_test=8, f=6
         path = feat_dir / f"test_{i}.npy"
         np.save(path, x)
         test_paths.append(str(path))
-        gt_frames.append(np.repeat(m.astype(np.float32), 32))
+        gt_frames.append(np.repeat(m.astype(np.float32), frames_per_clip))
     gt = np.concatenate(gt_frames)
 
     train_list = tmp_path / "train.list"
@@ -121,3 +126,72 @@ def test_padded_inference_matches_native(tmp_path):
     np.testing.assert_allclose(
         np.asarray(native)[0, :, 0], np.asarray(bucketed)[0, :t_true, 0], rtol=1e-5, atol=1e-6
     )
+
+
+def test_mgfn_dataset_presets():
+    """option.py:33-58 per-dataset blocks: XD 1024-d features + PR-AUC selection,
+    ST 16 frames/clip gt; aliases and overrides apply."""
+    p_xd = MGFNParams.for_dataset("xd")
+    assert p_xd.feature_size == 1024 and p_xd.datasetname == "XD"
+    assert p_xd.rgb_list == "data/xd-i3d.list" and p_xd.frames_per_clip == 32
+    p_st = MGFNParams.for_dataset("shanghai", batch_size=4)
+    assert p_st.datasetname == "ST" and p_st.frames_per_clip == 16
+    assert p_st.batch_size == 4 and p_st.gt == "data/gt-sh.npy"
+    assert MGFNParams.for_dataset("UCF").feature_size == 2048
+    with pytest.raises(ValueError, match="unknown MGFN dataset"):
+        MGFNParams.for_dataset("kinetics")
+
+
+@pytest.mark.slow
+def test_mgfn_xd_shaped_end_to_end(tmp_path):
+    """XD-shaped run: 1024-d 5-crop features, PR-AUC best-ckpt selection (main.py:107-116)."""
+    train_list, test_list, gt = _write_synthetic_dataset(
+        tmp_path, n_abnormal=8, n_normal=8, n_test=6, f=1024, ncrops=5
+    )
+    p = MGFNParams.for_dataset(
+        "XD",
+        rgb_list=train_list,
+        test_rgb_list=test_list,
+        dims=(16, 32, 64),
+        depths=(1, 1, 1),
+        dim_head=16,
+        batch_size=4,
+        dropout_rate=0.3,
+        model_name="mgfn_xd_test",
+    )
+    import ted_spad_tpu.data.features as feat_mod
+
+    old = feat_mod.ABNORMAL_SPLIT.copy()
+    feat_mod.ABNORMAL_SPLIT["XD"] = 8
+    try:
+        result = train_anomaly_detection(
+            p, save_dir=str(tmp_path / "ckpt"), gt=gt, max_epochs=2, shuffle=True,
+            log_fn=lambda s: None,
+        )
+    finally:
+        feat_mod.ABNORMAL_SPLIT.update(old)
+    assert np.isfinite(result["history"]["loss"]).all()
+    # XD selects best ckpt by PR AUC (main.py:107-116).
+    assert result["best_metric"] == max(result["history"]["test_PR"])
+
+
+def test_mgfn_mesh_eval_matches_single_device(tmp_path):
+    """make_score_fn(mesh=...) must produce identical scores to the unsharded scorer."""
+    import jax
+
+    from ted_spad_tpu.data.features import TestFeatureDataset
+    from ted_spad_tpu.models import load_mgfn_model
+    from ted_spad_tpu.parallel import data_parallel_mesh, replicate
+    from ted_spad_tpu.stages.anomaly_detection import evaluate, make_score_fn
+
+    _, test_list, gt = _write_synthetic_dataset(tmp_path, n_abnormal=2, n_normal=2, n_test=8)
+    p = MGFNParams(feature_size=64, dims=(16, 32, 64), depths=(1, 1, 1), dim_head=16)
+    model, variables = load_mgfn_model(p, ncrops=1)
+    test_ds = TestFeatureDataset(test_list, "UCF")
+
+    roc1, pr1 = evaluate(make_score_fn(model), variables, test_ds, gt)
+    mesh = data_parallel_mesh()
+    vrep = replicate(mesh, variables)
+    roc8, pr8 = evaluate(make_score_fn(model, mesh=mesh), vrep, test_ds, gt)
+    assert roc1 == pytest.approx(roc8, abs=1e-6)
+    assert pr1 == pytest.approx(pr8, abs=1e-6)
