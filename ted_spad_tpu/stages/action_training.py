@@ -168,18 +168,23 @@ def evaluate_action(
     decode_hw: tuple[int, int] = (0, 0),
     fa_vars: Any | None = None,
 ) -> float:
-    """Mode x crop x hflip sweep with per-video softmax averaging (train_action.py:330-381)."""
+    """Mode x crop x hflip sweep with per-video softmax averaging (train_action.py:330-381).
+
+    Each video decodes ONCE per mode; the cropping_factor x hflip TTA views all run from
+    the cached uint8 batch on device (the reference re-pulls the loader per view,
+    multiplying host decode by ~len(cropping_facs)*len(hflip))."""
     sums: dict[int, np.ndarray] = {}
     counts: dict[int, int] = {}
     labels: dict[int, int] = {}
     for mode in range(p.num_modes):
         ds = ValClipDataset(items, p, mode=mode, decode_w=decode_hw[1], decode_h=decode_hw[0])
-        for cf in p.cropping_facs:
-            for hf in p.hflip:
-                for batch in ds.batches(p.v_batch_size):
+        for batch in ds.batches(p.v_batch_size):
+            clips = jnp.asarray(batch.clips)  # one host->device transfer per batch
+            for cf in p.cropping_facs:
+                for hf in p.hflip:
                     probs = np.asarray(
                         eval_step(
-                            variables, jnp.asarray(batch.clips),
+                            variables, clips,
                             cropping_factor=float(cf), hflip=bool(hf), fa_vars=fa_vars,
                         )
                     )

@@ -71,6 +71,42 @@ class TestClipDatasets:
         assert batches[0].indices is not None
 
 
+def test_evaluate_action_decodes_once_per_mode(monkeypatch):
+    """The cf x hflip TTA sweep must reuse each decoded batch: open_video fires
+    exactly num_videos * num_modes times, not * len(cropping_facs) * len(hflip)
+    (reference re-pulls the loader per view, train_action.py:330-381)."""
+    import ted_spad_tpu.data.videos as videos_mod
+    from ted_spad_tpu.stages.action_training import evaluate_action
+
+    p = ActionParams(
+        num_frames=4, fix_skip=2, reso_h=32, reso_w=32, num_classes=5,
+        num_modes=2, cropping_facs=(0.8, 1.0), hflip=(0, 1), v_batch_size=4,
+    )
+    items = synthetic_video_items(6, 5, num_frames=40, h=48, w=64)
+    opens = {"n": 0}
+    real_open = videos_mod.open_video
+
+    def counting_open(*a, **k):
+        opens["n"] += 1
+        return real_open(*a, **k)
+
+    monkeypatch.setattr(videos_mod, "open_video", counting_open)
+
+    calls = {"n": 0}
+
+    def stub_eval_step(variables, clips, *, cropping_factor, hflip, fa_vars=None):
+        calls["n"] += 1
+        b = np.asarray(clips).shape[0]
+        return np.full((b, p.num_classes), 1.0 / p.num_classes, np.float32)
+
+    acc = evaluate_action(stub_eval_step, None, items, p)
+    assert 0.0 <= acc <= 1.0
+    assert opens["n"] == len(items) * p.num_modes  # decode once per (video, mode)
+    # All TTA views still evaluated: batches_per_mode * num_modes * cfs * hflips.
+    batches_per_mode = (len(items) + p.v_batch_size - 1) // p.v_batch_size
+    assert calls["n"] == batches_per_mode * p.num_modes * len(p.cropping_facs) * len(p.hflip)
+
+
 @pytest.mark.slow
 def test_action_stage_e2e(tmp_path):
     from ted_spad_tpu.stages.action_training import train_action
