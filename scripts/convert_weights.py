@@ -1,9 +1,13 @@
 """Convert torch pretrained seeds into framework checkpoints.
 
-Covers the reference's three external weight artifacts (SURVEY.md §2.1 model factory row):
+Covers the reference's external weight artifacts (SURVEY.md §2.1 model factory row):
   - ``i3d_r50_kinetics.pth`` -> largei3d ft seed (model_loaders.py:185-197)
   - ``rgb_imagenet.pt``      -> i3d ft seed (model_loaders.py:171-182)
   - torchvision resnet50 ImageNet -> fb predictor seed (model_loaders.py:157-168)
+  - torchvision resnet18 ImageNet -> UNet++ fa encoder seed (smp encoder_weights,
+    model_loaders.py:18-30); smp's resnet18 encoder shares torchvision's state_dict
+  - torchvision ``r3d_18(weights='DEFAULT')`` -> ft seed (model_loaders.py:203-204)
+  - torchvision ``mvit_v2_s(weights='DEFAULT')`` -> ft seed (model_loaders.py:219-221)
 
 Usage: ``python scripts/convert_weights.py --kind largei3d --src i3d_r50_kinetics.pth \
 --out seeds/ft_largei3d.ckpt --num_classes 102``
@@ -19,7 +23,10 @@ import argparse
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--kind", required=True, choices=["largei3d", "i3d", "r50"])
+    ap.add_argument(
+        "--kind", required=True,
+        choices=["largei3d", "i3d", "r50", "unet++", "r3d_18", "mvitv2"],
+    )
     ap.add_argument("--src", required=True, help="torch .pth/.pt (or .npz) checkpoint")
     ap.add_argument("--out", required=True, help="output .ckpt path")
     ap.add_argument("--num_classes", type=int, default=102)
@@ -34,12 +41,15 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
-    from ted_spad_tpu.models import load_fb_model, load_ft_model
+    from ted_spad_tpu.models import load_fa_model, load_fb_model, load_ft_model
     from ted_spad_tpu.utils.checkpoint import save_checkpoint
     from ted_spad_tpu.utils.torch_convert import (
         convert_inception_i3d,
         convert_resnet50_classifier,
+        load_imagenet_into_unetpp,
         load_kinetics_into_wrapper,
+        load_mvitv2_weights,
+        load_r3d18_weights,
         load_torch_checkpoint,
     )
 
@@ -56,6 +66,18 @@ def main() -> None:
             "params": {**variables["params"], **tree["params"]},
             "batch_stats": {**variables["batch_stats"], **tree["batch_stats"]},
         }
+        payload = {"ft_model_state_dict": variables}
+    elif args.kind == "unet++":
+        model, variables = load_fa_model(arch="unet++", image_size=(224, 224))
+        variables = load_imagenet_into_unetpp(variables, sd)
+        payload = {"fa_model_state_dict": variables}
+    elif args.kind == "r3d_18":
+        model, variables = load_ft_model("r3d_18", num_classes=args.num_classes, clip_shape=(16, 64, 64))
+        variables = load_r3d18_weights(variables, sd, args.num_classes)
+        payload = {"ft_model_state_dict": variables}
+    elif args.kind == "mvitv2":
+        model, variables = load_ft_model("mvitv2", num_classes=args.num_classes, clip_shape=(16, 224, 224))
+        variables = load_mvitv2_weights(variables, sd, args.num_classes)
         payload = {"ft_model_state_dict": variables}
     else:  # r50 fb predictor
         model, variables = load_fb_model("r50", num_pa=args.num_pa, image_size=(64, 64))

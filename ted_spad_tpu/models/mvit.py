@@ -29,20 +29,6 @@ import numpy as np
 Array = jax.Array
 
 
-def _pool_tokens(x: Array, thw: tuple[int, int, int], conv: nn.Module | None, stride) -> tuple[Array, tuple[int, int, int]]:
-    """Depthwise-conv pool the grid part of (B, 1+THW, C); cls token passes through."""
-    if conv is None:
-        return x, thw
-    t, h, w = thw
-    b, n, c = x.shape
-    cls, grid = x[:, :1], x[:, 1:]
-    grid = grid.reshape(b, t, h, w, c)
-    grid = conv(grid)
-    nt, nh, nw = grid.shape[1], grid.shape[2], grid.shape[3]
-    grid = grid.reshape(b, nt * nh * nw, c)
-    return jnp.concatenate([cls, grid], axis=1), (nt, nh, nw)
-
-
 def _rel_pos_1d(q_size: int, k_size: int, table: Array) -> Array:
     """Interpolation-free decomposed rel-pos lookup (MViTv2): (q_size, k_size, head_dim)."""
     # Relative distance grid with the standard max-offset indexing.
@@ -55,7 +41,15 @@ def _rel_pos_1d(q_size: int, k_size: int, table: Array) -> Array:
 
 
 class PooledAttention(nn.Module):
-    """MViTv2 pooled MHSA with residual pooling + decomposed rel-pos."""
+    """MViTv2 pooled MHSA with residual pooling + decomposed rel-pos.
+
+    torchvision-parity semantics (models/video/mvit.py MultiscaleAttention):
+      - q/k/v pooling is PER-HEAD: depthwise conv over ``head_dim`` channels shared
+        across heads, followed by a shared ``LayerNorm(head_dim)`` (the Pool module's
+        norm_act) applied to the cls token too;
+      - residual pooling adds pooled q to all but the cls row
+        (residual_with_cls_embed=False in mvit_v2_s).
+    """
 
     dim_out: int
     heads: int
@@ -67,36 +61,32 @@ class PooledAttention(nn.Module):
     @nn.compact
     def __call__(self, x: Array, thw: tuple[int, int, int]) -> tuple[Array, tuple[int, int, int]]:
         b, n, _ = x.shape
-        head_dim = self.dim_out // self.heads
+        heads = self.heads
+        head_dim = self.dim_out // heads
         qkv = nn.Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # Channel layout matches torch's reshape(B, N, 3, heads, head_dim).
+        qkv = qkv.reshape(b, n, 3, heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, heads, head_dim)
 
-        def pool_conv(name: str, stride):
-            if tuple(stride) == (1, 1, 1):
-                # v2 pools even at stride 1 (kernel 3) for q/k/v; keep conv for parity.
-                pass
-            return nn.Conv(
-                self.dim_out,
-                (3, 3, 3),
-                strides=tuple(stride),
-                padding=[(1, 1)] * 3,
-                feature_group_count=self.dim_out,
-                use_bias=False,
-                dtype=self.dtype,
-                name=name,
-            )
+        def pool(z: Array, name: str, stride) -> tuple[Array, tuple[int, int, int]]:
+            # Fold heads into batch; depthwise conv + LayerNorm over head_dim, both
+            # shared across heads (torchvision Pool). cls passes the conv, gets the norm.
+            z = z.transpose(0, 2, 1, 3).reshape(b * heads, n, head_dim)
+            cls, grid = z[:, :1], z[:, 1:]
+            t, hh, ww = thw
+            grid = grid.reshape(b * heads, t, hh, ww, head_dim)
+            grid = nn.Conv(
+                head_dim, (3, 3, 3), strides=tuple(stride), padding=[(1, 1)] * 3,
+                feature_group_count=head_dim, use_bias=False, dtype=self.dtype, name=name,
+            )(grid)
+            nt, nh, nw = grid.shape[1], grid.shape[2], grid.shape[3]
+            z = jnp.concatenate([cls, grid.reshape(b * heads, -1, head_dim)], axis=1)
+            z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"{name}_norm")(z)
+            return z.reshape(b, heads, -1, head_dim), (nt, nh, nw)
 
-        q, q_thw = _pool_tokens(q, thw, pool_conv("pool_q", self.q_stride), self.q_stride)
-        k, k_thw = _pool_tokens(k, thw, pool_conv("pool_k", self.kv_stride), self.kv_stride)
-        v, _ = _pool_tokens(v, thw, pool_conv("pool_v", self.kv_stride), self.kv_stride)
-        q = nn.LayerNorm(dtype=self.dtype, name="norm_q")(q)
-        k = nn.LayerNorm(dtype=self.dtype, name="norm_k")(k)
-        v = nn.LayerNorm(dtype=self.dtype, name="norm_v")(v)
-
-        def heads_view(z):
-            return z.reshape(b, z.shape[1], self.heads, head_dim).transpose(0, 2, 1, 3)
-
-        qh, kh, vh = heads_view(q), heads_view(k), heads_view(v)
+        qh, q_thw = pool(q, "pool_q", self.q_stride)
+        kh, k_thw = pool(k, "pool_k", self.kv_stride)
+        vh, _ = pool(v, "pool_v", self.kv_stride)
         attn = jnp.einsum("bhid,bhjd->bhij", qh * head_dim**-0.5, kh).astype(jnp.float32)
 
         # Decomposed rel-pos on the grid part (cls row/col excluded).
@@ -119,8 +109,9 @@ class PooledAttention(nn.Module):
 
         attn = jax.nn.softmax(attn, axis=-1).astype(vh.dtype)
         out = jnp.einsum("bhij,bhjd->bhid", attn, vh)
-        out = out + qh  # v2 residual pooling connection
-        out = out.transpose(0, 2, 1, 3).reshape(b, q.shape[1], self.dim_out)
+        # v2 residual pooling; cls row excluded (residual_with_cls_embed=False).
+        out = out.at[:, :, 1:].add(qh[:, :, 1:])
+        out = out.transpose(0, 2, 1, 3).reshape(b, qh.shape[2], self.dim_out)
         out = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(out)
         return out, q_thw
 
@@ -137,16 +128,16 @@ class MViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, thw: tuple[int, int, int]) -> tuple[Array, tuple[int, int, int]]:
         dim_in = x.shape[-1]
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         attn_out, new_thw = PooledAttention(
             self.dim_out, self.heads, self.q_stride, self.kv_stride, self.input_thw,
             dtype=self.dtype, name="attn",
         )(h, thw)
         shortcut = x
         if dim_in != self.dim_out:
-            shortcut = nn.Dense(self.dim_out, dtype=self.dtype, name="proj_skip")(
-                nn.LayerNorm(dtype=self.dtype, name="norm_skip")(x)
-            )
+            # v2 (proj_after_attn): the skip projection reuses the norm1 output
+            # (torchvision MultiscaleBlock.forward), not a separate norm.
+            shortcut = nn.Dense(self.dim_out, dtype=self.dtype, name="proj_skip")(h)
         if tuple(self.q_stride) != (1, 1, 1):
             # Skip path pools like q: kernel s+1 (pad k//2) per strided dim, 1 otherwise
             # (torchvision mvit kernel_skip rule) — a stride-(1,2,2) transition must NOT
@@ -164,7 +155,7 @@ class MViTBlock(nn.Module):
             grid = grid.reshape(b, -1, c)
             shortcut = jnp.concatenate([cls, grid], axis=1)
         x = shortcut + attn_out
-        h2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h2 = nn.Dense(self.dim_out * self.mlp_ratio, dtype=self.dtype, name="mlp_fc1")(h2)
         h2 = nn.gelu(h2, approximate=False)
         h2 = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp_fc2")(h2)
@@ -217,7 +208,7 @@ class MViTv2S(nn.Module):
                     name=f"stage{si}_block{bi}",
                 )(tokens, thw)
 
-        tokens = nn.LayerNorm(dtype=self.dtype, name="norm")(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tokens)
         feature = tokens[:, 0].astype(jnp.float32)  # cls token = 768-d wrapper feature
         logits = nn.Dense(self.num_classes, dtype=self.dtype, name="head")(
             feature.astype(self.dtype)

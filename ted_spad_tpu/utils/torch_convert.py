@@ -188,6 +188,134 @@ def convert_inception_i3d(sd: Mapping[str, Any], include_logits: bool = False):
     return {"params": params, "batch_stats": stats}
 
 
+def load_imagenet_into_unetpp(variables, sd: Mapping[str, Any]):
+    """smp UnetPlusPlus(resnet18, encoder_weights='imagenet') seed (model_loaders.py:18-30):
+    smp's resnet18 encoder IS torchvision's resnet18 state_dict (conv1/bn1/layerL.B.*) —
+    load it into UNetPlusPlus.encoder (depth 4), keep the randomly-init decoder/head."""
+    tree = convert_resnet2d(sd, "resnet18", depth=4)
+    new_params = dict(variables["params"])
+    enc_p = dict(new_params.get("encoder", {}))
+    enc_p.update(tree["params"])
+    new_params["encoder"] = enc_p
+    new_stats = dict(variables.get("batch_stats", {}))
+    enc_s = dict(new_stats.get("encoder", {}))
+    enc_s.update(tree["batch_stats"])
+    new_stats["encoder"] = enc_s
+    return {**variables, "params": new_params, "batch_stats": new_stats}
+
+
+# ---------------------------------------------------------------------------
+# torchvision video r3d_18 -> R3D18 (wrapper_r3d_18, model_loaders.py:200-215)
+# ---------------------------------------------------------------------------
+
+
+def convert_r3d18(sd: Mapping[str, Any], include_fc: bool = False):
+    """torchvision video-ResNet naming (stem.0/.1, layerL.B.conv{1,2}.{0,1},
+    layerL.B.downsample.{0,1}, fc) -> R3D18 variables (stem, blocks_{0..7}, fc)."""
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+    _merge(params, stats, "stem", convbn_entry(sd, "stem.0", "stem.1"))
+    for li in range(4):
+        for bi in range(2):
+            pre = f"layer{li + 1}.{bi}"
+            bp: dict[str, Any] = {}
+            bs: dict[str, Any] = {}
+            # conv1/conv2 are Sequential(Conv3d, BN[, ReLU]) in torchvision video resnet.
+            _merge(bp, bs, "conv1", convbn_entry(sd, f"{pre}.conv1.0", f"{pre}.conv1.1"))
+            _merge(bp, bs, "conv2", convbn_entry(sd, f"{pre}.conv2.0", f"{pre}.conv2.1"))
+            if f"{pre}.downsample.0.weight" in sd:
+                _merge(bp, bs, "downsample", convbn_entry(sd, f"{pre}.downsample.0", f"{pre}.downsample.1"))
+            params[f"blocks_{li * 2 + bi}"] = bp
+            stats[f"blocks_{li * 2 + bi}"] = bs
+    if include_fc and "fc.weight" in sd:
+        params["fc"] = {"kernel": linear_kernel(sd["fc.weight"]), "bias": _np(sd["fc.bias"])}
+    return {"params": params, "batch_stats": stats}
+
+
+def load_r3d18_weights(variables, sd: Mapping[str, Any], num_classes: int):
+    """wrapper_r3d_18 semantics (model_loaders.py:200-215): Kinetics backbone, fresh fc
+    unless the class count matches the 400-way seed."""
+    tree = convert_r3d18(sd, include_fc=(num_classes == 400))
+    return {
+        **variables,
+        "params": {**variables["params"], **tree["params"]},
+        "batch_stats": {**variables.get("batch_stats", {}), **tree["batch_stats"]},
+    }
+
+
+# ---------------------------------------------------------------------------
+# torchvision mvit_v2_s -> MViTv2S (wrapper_mvit, model_loaders.py:217-232)
+# ---------------------------------------------------------------------------
+
+
+def _ln(sd, key):
+    return {"scale": _np(sd[key + ".weight"]), "bias": _np(sd[key + ".bias"])}
+
+
+def _linear(sd, key):
+    p = {"kernel": linear_kernel(sd[key + ".weight"])}
+    if key + ".bias" in sd:
+        p["bias"] = _np(sd[key + ".bias"])
+    return p
+
+
+def convert_mvitv2(
+    sd: Mapping[str, Any],
+    depths: tuple[int, ...] = (1, 2, 11, 2),
+    include_head: bool = False,
+):
+    """torchvision mvit_v2_s state_dict naming (models/video/mvit.py: conv_proj,
+    pos_encoding.class_token, blocks.{i}.{norm1,norm2,attn.*,mlp.{0,3},project},
+    norm, head.1) -> MViTv2S params. Pure-LayerNorm model: no batch_stats.
+
+    torchvision is not shipped in this image, so the naming contract is pinned by the
+    hand-built oracle in tests/test_torch_convert.py (exact same key layout)."""
+    params: dict[str, Any] = {}
+    params["patch_embed"] = {
+        "kernel": conv_kernel(sd["conv_proj.weight"]),
+        "bias": _np(sd["conv_proj.bias"]),
+    }
+    params["cls_token"] = _np(sd["pos_encoding.class_token"]).reshape(1, 1, -1)
+
+    block_of = []  # global index -> (stage, block)
+    for si, d in enumerate(depths):
+        block_of += [(si, bi) for bi in range(d)]
+
+    for i, (si, bi) in enumerate(block_of):
+        pre = f"blocks.{i}"
+        bp: dict[str, Any] = {
+            "norm1": _ln(sd, f"{pre}.norm1"),
+            "norm2": _ln(sd, f"{pre}.norm2"),
+        }
+        attn: dict[str, Any] = {"qkv": _linear(sd, f"{pre}.attn.qkv")}
+        for pool in ("pool_q", "pool_k", "pool_v"):
+            attn[pool] = {"kernel": conv_kernel(sd[f"{pre}.attn.{pool}.pool.weight"])}
+            attn[f"{pool}_norm"] = _ln(sd, f"{pre}.attn.{pool}.norm_act.0")
+        for axis in ("t", "h", "w"):
+            attn[f"rel_pos_{axis}"] = _np(sd[f"{pre}.attn.rel_pos_{axis}"])
+        # project is a bare Linear, or Sequential(Linear, Dropout) when dropout > 0.
+        proj_key = f"{pre}.attn.project" if f"{pre}.attn.project.weight" in sd else f"{pre}.attn.project.0"
+        attn["proj"] = _linear(sd, proj_key)
+        bp["attn"] = attn
+        if f"{pre}.project.weight" in sd:  # skip projection at stage transitions
+            bp["proj_skip"] = _linear(sd, f"{pre}.project")
+        bp["mlp_fc1"] = _linear(sd, f"{pre}.mlp.0")
+        bp["mlp_fc2"] = _linear(sd, f"{pre}.mlp.3")
+        params[f"stage{si}_block{bi}"] = bp
+
+    params["norm"] = _ln(sd, "norm")
+    if include_head and "head.1.weight" in sd:
+        params["head"] = _linear(sd, "head.1")
+    return {"params": params}
+
+
+def load_mvitv2_weights(variables, sd: Mapping[str, Any], num_classes: int):
+    """wrapper_mvit semantics (model_loaders.py:217-232): pretrained trunk, head replaced
+    for the target class count (kept only for the 400-way seed)."""
+    tree = convert_mvitv2(sd, include_head=(num_classes == 400))
+    return {**variables, "params": {**variables["params"], **tree["params"]}}
+
+
 def load_torch_checkpoint(path: str) -> dict[str, Any]:
     """Read a .pth/.pt with torch (CPU) or a converted .npz."""
     if path.endswith(".npz"):
