@@ -17,6 +17,7 @@ extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
 #include <libswscale/swscale.h>
 }
 
@@ -250,6 +251,183 @@ int64_t vd_read_strided(void* h, int64_t start, int64_t n, int64_t stride, uint8
   std::vector<int64_t> idx(n);
   for (int64_t i = 0; i < n; ++i) idx[i] = start + i * stride;
   return vd_read_indices(h, idx.data(), n, out);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Encoder: RGB24 frames -> containerized video (mp4/h264 by default).
+// Covers the reference's imageio mp4 writer (visualize_anonymization.py:84-115).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Encoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  AVStream* stream = nullptr;
+  SwsContext* sws = nullptr;
+  AVFrame* yuv = nullptr;
+  AVPacket* pkt = nullptr;
+  int w = 0, h = 0;
+  int64_t n = 0;  // frames written (pts counter)
+  bool header_written = false;
+
+  ~Encoder() {
+    if (sws) sws_freeContext(sws);
+    if (yuv) av_frame_free(&yuv);
+    if (pkt) av_packet_free(&pkt);
+    if (codec) avcodec_free_context(&codec);
+    if (fmt) {
+      if (fmt->pb) avio_closep(&fmt->pb);
+      avformat_free_context(fmt);
+    }
+  }
+};
+
+// Drain encoder packets into the container. flush=false: until EAGAIN.
+int drain_packets(Encoder* enc) {
+  while (true) {
+    int ret = avcodec_receive_packet(enc->codec, enc->pkt);
+    if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return 0;
+    if (ret < 0) return ret;
+    av_packet_rescale_ts(enc->pkt, enc->codec->time_base, enc->stream->time_base);
+    enc->pkt->stream_index = enc->stream->index;
+    ret = av_interleaved_write_frame(enc->fmt, enc->pkt);
+    av_packet_unref(enc->pkt);
+    if (ret < 0) return ret;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open an encoder writing to `path` (container guessed from extension, e.g. .mp4).
+// codec_name: "libx264", "mpeg4", or "" for libx264-with-mpeg4-fallback.
+// Even dimensions required (yuv420p chroma subsampling).
+void* ve_open(const char* path, int w, int h, double fps, const char* codec_name) {
+  if (w % 2 || h % 2) {
+    g_last_error = "ve_open: width/height must be even for yuv420p";
+    return nullptr;
+  }
+  auto enc = new Encoder();
+  enc->w = w;
+  enc->h = h;
+  if (avformat_alloc_output_context2(&enc->fmt, nullptr, nullptr, path) < 0 || !enc->fmt) {
+    g_last_error = "avformat_alloc_output_context2 failed (unknown container?)";
+    delete enc;
+    return nullptr;
+  }
+  const AVCodec* codec = nullptr;
+  if (codec_name && codec_name[0]) {
+    codec = avcodec_find_encoder_by_name(codec_name);
+  } else {
+    codec = avcodec_find_encoder_by_name("libx264");
+    if (!codec) codec = avcodec_find_encoder_by_name("mpeg4");
+  }
+  if (!codec) {
+    g_last_error = "no usable video encoder (tried libx264, mpeg4)";
+    delete enc;
+    return nullptr;
+  }
+  av_log_set_level(AV_LOG_ERROR);  // silence libx264 info spam on stderr
+  enc->codec = avcodec_alloc_context3(codec);
+  enc->codec->width = w;
+  enc->codec->height = h;
+  enc->codec->pix_fmt = AV_PIX_FMT_YUV420P;
+  const AVRational framerate = av_d2q(fps > 0 ? fps : 25.0, 1 << 16);
+  enc->codec->time_base = AVRational{framerate.den, framerate.num};
+  enc->codec->framerate = framerate;
+  enc->codec->gop_size = 12;
+  if (strcmp(codec->name, "libx264") == 0) {
+    av_opt_set(enc->codec->priv_data, "preset", "veryfast", 0);
+    av_opt_set(enc->codec->priv_data, "crf", "18", 0);
+  } else {
+    enc->codec->bit_rate = static_cast<int64_t>(w) * h * 8;  // generous for mpeg4
+  }
+  if (enc->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    enc->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(enc->codec, codec, nullptr) < 0) {
+    g_last_error = "avcodec_open2 (encoder) failed";
+    delete enc;
+    return nullptr;
+  }
+  enc->stream = avformat_new_stream(enc->fmt, codec);
+  avcodec_parameters_from_context(enc->stream->codecpar, enc->codec);
+  enc->stream->time_base = enc->codec->time_base;
+  enc->stream->avg_frame_rate = framerate;
+  if (!(enc->fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&enc->fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+    g_last_error = "avio_open failed";
+    delete enc;
+    return nullptr;
+  }
+  if (avformat_write_header(enc->fmt, nullptr) < 0) {
+    g_last_error = "avformat_write_header failed";
+    delete enc;
+    return nullptr;
+  }
+  enc->header_written = true;
+  enc->sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
+                            SWS_BILINEAR, nullptr, nullptr, nullptr);
+  enc->yuv = av_frame_alloc();
+  enc->yuv->format = AV_PIX_FMT_YUV420P;
+  enc->yuv->width = w;
+  enc->yuv->height = h;
+  enc->pkt = av_packet_alloc();
+  if (!enc->sws || !enc->pkt || av_frame_get_buffer(enc->yuv, 0) < 0) {
+    g_last_error = "encoder allocation failure";
+    delete enc;
+    return nullptr;
+  }
+  return enc;
+}
+
+// Append one packed-RGB24 frame (h*w*3 bytes). Returns 0 on success.
+int ve_write(void* h, const uint8_t* rgb) {
+  auto enc = static_cast<Encoder*>(h);
+  if (av_frame_make_writable(enc->yuv) < 0) {
+    g_last_error = "av_frame_make_writable failed";
+    return -1;
+  }
+  const uint8_t* src[4] = {rgb, nullptr, nullptr, nullptr};
+  int src_linesize[4] = {enc->w * 3, 0, 0, 0};
+  sws_scale(enc->sws, src, src_linesize, 0, enc->h, enc->yuv->data, enc->yuv->linesize);
+  enc->yuv->pts = enc->n++;  // time_base = 1/framerate -> one tick per frame
+  int ret = avcodec_send_frame(enc->codec, enc->yuv);
+  if (ret < 0) {
+    g_last_error = "avcodec_send_frame failed";
+    return ret;
+  }
+  ret = drain_packets(enc);
+  if (ret < 0) g_last_error = "packet write failed";
+  return ret;
+}
+
+// Flush, write trailer, close. Always frees the encoder. Returns 0 on success.
+int ve_close(void* h) {
+  auto enc = static_cast<Encoder*>(h);
+  int ret = 0;
+  if (enc->header_written) {
+    avcodec_send_frame(enc->codec, nullptr);
+    // Drain all flushed packets (receive until EOF).
+    while (true) {
+      int r = avcodec_receive_packet(enc->codec, enc->pkt);
+      if (r == AVERROR_EOF || r == AVERROR(EAGAIN)) break;
+      if (r < 0) {
+        ret = r;
+        break;
+      }
+      av_packet_rescale_ts(enc->pkt, enc->codec->time_base, enc->stream->time_base);
+      enc->pkt->stream_index = enc->stream->index;
+      if (av_interleaved_write_frame(enc->fmt, enc->pkt) < 0) ret = -1;
+      av_packet_unref(enc->pkt);
+    }
+    if (av_write_trailer(enc->fmt) < 0) ret = -1;
+  }
+  delete enc;
+  return ret;
 }
 
 }  // extern "C"

@@ -60,6 +60,18 @@ def _load_library():
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.vd_last_error.restype = ctypes.c_char_p
+        lib.ve_open.restype = ctypes.c_void_p
+        lib.ve_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_char_p,
+        ]
+        lib.ve_write.restype = ctypes.c_int
+        lib.ve_write.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+        lib.ve_close.restype = ctypes.c_int
+        lib.ve_close.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception as e:  # noqa: BLE001 — degrade to synthetic reader
         _lib_error = str(e)
@@ -197,6 +209,59 @@ def open_video(path: str, out_w: int = 0, out_h: int = 0):
             seed=int(kv.get("seed", 0)),
         )
     return VideoReader(path, out_w, out_h)
+
+
+class VideoWriter:
+    """Streaming RGB24 -> mp4 (libx264, mpeg4 fallback) encoder over the native layer —
+    the imageio.mimwrite replacement (visualize_anonymization.py:84-115). Odd frame
+    dimensions are cropped by one pixel (yuv420p needs even sizes)."""
+
+    def __init__(self, path: str, width: int, height: int, fps: float = 25.0, codec: str = ""):
+        lib = _load_library()
+        if lib is None:
+            raise RuntimeError(f"native videodec unavailable: {_lib_error}")
+        self._lib = lib
+        self.width = width - (width % 2)
+        self.height = height - (height % 2)
+        self._h = lib.ve_open(path.encode(), self.width, self.height, float(fps), codec.encode())
+        if not self._h:
+            raise IOError(f"cannot open encoder for {path}: {lib.vd_last_error().decode()}")
+        self.path = path
+
+    def write(self, frame: np.ndarray) -> None:
+        frame = np.ascontiguousarray(frame[: self.height, : self.width], dtype=np.uint8)
+        rc = self._lib.ve_write(self._h, frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc != 0:
+            raise IOError(f"encode failed: {self._lib.vd_last_error().decode()}")
+
+    def close(self) -> None:
+        if self._h:
+            rc = self._lib.ve_close(self._h)
+            self._h = None
+            if rc != 0:
+                raise IOError("mp4 finalize failed")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def write_mp4(path: str, frames: np.ndarray, fps: float = 25.0, codec: str = "") -> str:
+    """Write (T, H, W, 3) uint8 RGB frames as an .mp4 via the native encoder."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    _, h, w, _ = frames.shape
+    with VideoWriter(path, w, h, fps=fps, codec=codec) as vw:
+        for frame in frames:
+            vw.write(frame)
+    return path
 
 
 def write_y4m(path: str, frames: np.ndarray, fps: int = 25) -> str:

@@ -4,8 +4,10 @@ Reference: visualization/visualize_anonymization.py (anonymize_videos:65 — dec
 read, per-frame fa, imageio mp4 write :84-115; before/after sample PNGs shipped in-repo).
 
 TPU redesign: frames stream through the native decoder in fixed-size chunks, fa runs as
-one jitted batched program per chunk, and outputs are written as Y4M video (pure-python
-encoder — no ffmpeg binary in the image) plus PNG side-by-side grids via PIL.
+one jitted batched program per chunk, and outputs are written as .mp4 via the native
+libavformat encoder (imageio-parity artifact, visualize_anonymization.py:84-115), falling
+back to Y4M (pure-python encoder) if the native layer is unavailable; plus PNG
+side-by-side grids via PIL.
 """
 
 from __future__ import annotations
@@ -17,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ted_spad_tpu.data.video_reader import open_video, write_y4m
+from ted_spad_tpu.data.video_reader import native_available, open_video, write_mp4, write_y4m
 from ted_spad_tpu.models import load_fa_model
 
 
@@ -43,7 +45,8 @@ def anonymize_video(
     sample_grid_frames: int = 4,
     dtype: str = "float32",
 ) -> dict[str, str]:
-    """Write ``<name>_anon.y4m`` + ``<name>_grid.png`` (original|anonymized rows)."""
+    """Write ``<name>_anon.mp4`` (Y4M fallback) + ``<name>_grid.png``
+    (original|anonymized rows)."""
     os.makedirs(out_dir, exist_ok=True)
     h, w = size
     fa_model, fa_vars = load_fa_model(saved_model_fa, arch=arch_fa, image_size=(h, w), dtype=dtype)
@@ -68,8 +71,13 @@ def anonymize_video(
     base = os.path.basename(video_uri).rsplit(".", 1)[0].replace("synthetic://", "synth_").replace(
         ",", "_"
     ).replace("=", "")
-    y4m_path = os.path.join(out_dir, f"{base}_anon.y4m")
-    write_y4m(y4m_path, anon, fps=int(round(vr.fps)) if getattr(vr, "fps", 0) else 25)
+    fps = vr.fps if getattr(vr, "fps", 0) else 25.0
+    if native_available():
+        video_path = os.path.join(out_dir, f"{base}_anon.mp4")
+        write_mp4(video_path, anon, fps=fps)
+    else:
+        video_path = os.path.join(out_dir, f"{base}_anon.y4m")
+        write_y4m(video_path, anon, fps=int(round(fps)))
 
     # Side-by-side sample grid (original top row, anonymized bottom row).
     from PIL import Image
@@ -80,4 +88,4 @@ def anonymize_video(
     grid = np.concatenate([top, bottom], axis=0)
     png_path = os.path.join(out_dir, f"{base}_grid.png")
     Image.fromarray(grid).save(png_path)
-    return {"video": y4m_path, "grid": png_path}
+    return {"video": video_path, "grid": png_path}

@@ -78,3 +78,33 @@ class TestSyntheticReader:
         vr = open_video("synthetic://n=12,h=16,w=20,seed=9")
         assert len(vr) == 12
         assert vr.get_batch([0]).shape == (1, 16, 20, 3)
+
+
+@needs_native
+class TestMp4Encoder:
+    """Native mp4 encode path (ve_open/ve_write/ve_close) — the imageio replacement
+    (visualize_anonymization.py:84-115)."""
+
+    def test_roundtrip_x264(self, tmp_path):
+        from ted_spad_tpu.data.video_reader import SyntheticVideoReader, VideoReader, write_mp4
+
+        frames = SyntheticVideoReader(num_frames=20, height=120, width=160, seed=3001).get_batch(range(20))
+        p = write_mp4(str(tmp_path / "rt.mp4"), frames, fps=30)
+        vr = VideoReader(p)
+        assert len(vr) == 20 and (vr.width, vr.height) == (160, 120)
+        assert abs(vr.fps - 30.0) < 0.01
+        back = vr.get_batch(range(20))
+        vr.close()
+        # Lossy (crf 18 + 4:2:0): demand close luma-scale agreement, not bit equality.
+        err = np.abs(back.astype(np.float32) - frames.astype(np.float32)).mean()
+        assert err < 12.0, err
+
+    def test_mpeg4_codec_and_odd_size_crop(self, tmp_path):
+        from ted_spad_tpu.data.video_reader import VideoReader, write_mp4
+
+        frames = np.full((5, 121, 161, 3), 128, np.uint8)  # odd dims -> cropped even
+        p = write_mp4(str(tmp_path / "odd.mp4"), frames, fps=25, codec="mpeg4")
+        vr = VideoReader(p)
+        assert (vr.width, vr.height) == (160, 120)
+        assert len(vr) == 5
+        vr.close()
