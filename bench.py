@@ -1,31 +1,78 @@
-"""Benchmark: feature-extraction device throughput (clips/sec/chip) — the north-star
-metric (BASELINE.json: "clips/sec/chip feature extraction").
+"""Benchmark: feature-extraction throughput (clips/sec/chip) — the north-star metric
+(BASELINE.json: "clips/sec/chip feature extraction").
 
-Measures the fused extraction program (normalize + center-crop + resize + frozen UNet++
-fa per frame + I3Res50 features, bf16) streaming batched clips, exactly the
-stages/feature_extraction.py hot path, on whatever device is available (real TPU chip
-under the driver; CPU in dev).
+Measures the fused extraction program (Pallas preprocess + fused UNet++ fa + I3Res50
+features, bf16) streaming batched clips — the stages/feature_extraction.py hot path —
+on whatever device is available (real TPU chip under the driver; CPU in dev).
 
-``vs_baseline``: the reference pipeline processes ONE clip per step with decode, fa and
-ft as separate kernels (dali_extraction.py params_feature_ex.py:4 batch_size=1,
-:168-179 separate fa/ft calls with reshape round-trips). We time that same-device
-equivalent (batch=1, unfused stages, f32 like torch AMP's fp16/32 mix ~ charitably bf16)
-and report fused-batched/batch1-unfused — the measured speedup of the TPU-first design
-over a faithful port, on identical hardware.
+Timing methodology: on the tunneled TPU backend ``block_until_ready`` does NOT wait
+for remote execution, so wall-clock loops measure dispatch, not compute. We time K vs
+2K iterations of a ``lax.fori_loop`` whose body is data-chained through a
+NaN-guarded carry (XLA cannot hoist or DCE it) with a full-output reduction, force
+the scalar with ``np.asarray``, and difference the two runs to cancel the tunnel
+round trip. This is honest device time.
+
+``vs_baseline``: the reference pipeline processes ONE clip per step with decode, fa
+and ft as separate f32 kernels (dali_extraction.py, params_feature_ex.py:4
+batch_size=1, :168-179). We time the same-device equivalent (batch=1, f32, module fa,
+XLA preprocess) with the same methodology and report fused-batched/batch1 — the
+measured speedup of the TPU-first design over a faithful port on identical hardware.
+
+``detail.e2e_clips_per_sec``: decode-inclusive figure — native C++ mp4 decode (host
+threads) -> batch packing -> device program, over freshly written mp4 files, wall
+clock. Includes host->device transfer (pessimistic under the tunnel; on a directly
+attached host this approaches the device rate).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
 
 
+def device_ms_per_call(fn, args, iters: int) -> float:
+    """Honest per-call device ms for fn(*args) (tunnel-RTT-cancelled)."""
+    import jax
+    import jax.numpy as jnp
+
+    def make_loop(k):
+        @jax.jit
+        def loop(*a):
+            def body(_, acc):
+                # Runtime-zero uint8 the compiler can't prove is zero: defeats
+                # loop-invariant hoisting without touching the data.
+                eps = jnp.where(jnp.isnan(acc), jnp.uint8(1), jnp.uint8(0))
+                chained = tuple(
+                    x + eps.astype(x.dtype) if hasattr(x, "dtype") else x for x in a
+                )
+                out = fn(*chained)
+                return acc + out.astype(jnp.float32).sum() * 0.0
+
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+        return loop
+
+    l1, l2 = make_loop(iters), make_loop(2 * iters)
+    np.asarray(l1(*args)), np.asarray(l2(*args))  # compile + warm
+
+    def run(loop):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(loop(*args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return max(run(l2) - run(l1), 1e-9) / iters * 1e3
+
+
 def main() -> None:
     import jax
 
-    # Persistent compile cache: repeated driver runs skip the slow first compile.
     jax.config.update("jax_compilation_cache_dir", ".jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -33,7 +80,7 @@ def main() -> None:
     from ted_spad_tpu.config.params import FeatureExtractionParams
     from ted_spad_tpu.models import load_fa_model, load_ft_model
     from ted_spad_tpu.ops.augment import center_crop_resize
-    from ted_spad_tpu.stages.feature_extraction import make_extract_step
+    from ted_spad_tpu.stages.feature_extraction import extract_features, make_extract_step
 
     p = FeatureExtractionParams(num_frames=16, reso_h=224, reso_w=224)
     fa_model, fa_vars = load_fa_model(image_size=(224, 224), dtype="bfloat16")
@@ -47,40 +94,63 @@ def main() -> None:
     clips_dev = jnp.asarray(clips)
     one_clip = jnp.asarray(clips[:1])
 
-    # --- Fused + batched (ours) -------------------------------------------------
-    extract = make_extract_step(ft_model, p, fa=(fa_model, fa_vars))  # pallas preprocess on TPU
-    extract(ft_vars, clips_dev).block_until_ready()  # compile + warmup
-    n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = extract(ft_vars, clips_dev)
-    out.block_until_ready()
-    fused = batch * n_iters / (time.perf_counter() - t0)
+    # --- Fused + batched (ours): Pallas preprocess + fused fa + ft, one program ----
+    extract = make_extract_step(ft_model, p, fa=(fa_model, fa_vars))
+    ms_fused = device_ms_per_call(lambda c: extract(ft_vars, c), (clips_dev,), iters=8)
+    fused = batch / (ms_fused / 1e3)
 
-    # --- Reference-style: batch=1, stage-separated programs ----------------------
-    @jax.jit
-    def prep(c):
-        return center_crop_resize(c.astype(jnp.float32) / 255.0, p.cropping_factor, 224, 224)
+    # --- Reference-style: batch=1, f32, module fa, gather-based preprocess ---------
+    fa32_model, fa32_vars = load_fa_model(image_size=(224, 224), dtype="float32")
+    ft32_model, ft32_vars = load_ft_model(
+        "largei3d", num_classes=102, clip_shape=(16, 224, 224), dtype="float32"
+    )
 
-    @jax.jit
-    def fa_fwd(img):
+    def ref_style(c):
+        img = center_crop_resize(c.astype(jnp.float32) / 255.0, p.cropping_factor, 224, 224)
         frames = img.reshape((-1,) + img.shape[-3:])
-        a = fa_model.apply(fa_vars, frames, train=False)
-        return a.reshape(img.shape[:-3] + a.shape[-3:])
+        a = fa32_model.apply(fa32_vars, frames, train=False)
+        img = a.reshape(img.shape[:-3] + a.shape[-3:])
+        return ft32_model.apply(ft32_vars, img, train=False, method="extract_features")
 
-    @jax.jit
-    def ft_fwd(img):
-        return ft_model.apply(ft_vars, img, train=False, method="extract_features")
+    ms_ref = device_ms_per_call(ref_style, (one_clip,), iters=4)
+    ref_rate = 1.0 / (ms_ref / 1e3)
 
-    ft_fwd(fa_fwd(prep(one_clip))).block_until_ready()  # compile
-    n_ref = 4
-    t0 = time.perf_counter()
-    for _ in range(n_ref):
-        # Separate programs with device-resident handoff (the torch loop chains
-        # fa -> ft on-device too; only the python/kernel boundaries differ).
-        f = ft_fwd(fa_fwd(prep(one_clip)))
-        f.block_until_ready()  # batch=1 sync per clip, like the reference's per-step loop
-    ref_style = n_ref / (time.perf_counter() - t0)
+    # --- Decode-inclusive end-to-end (native C++ decode -> device program) ---------
+    detail: dict = {}
+    try:
+        from ted_spad_tpu.data.video_reader import native_available, write_mp4
+
+        if native_available():
+            tmp = tempfile.mkdtemp(prefix="bench_vids_")
+            rng2 = np.random.default_rng(1)
+            uris = []
+            for i in range(6):
+                frames = rng2.integers(0, 255, (128, 240, 320, 3), dtype=np.uint8)
+                path = os.path.join(tmp, f"v{i}.mp4")
+                write_mp4(path, frames, fps=25.0)
+                uris.append(path)
+            out_dir = os.path.join(tmp, "feats")
+            # Warm the jit cache with one tiny run so e2e excludes compile.
+            extract(ft_vars, clips_dev)
+            t0 = time.perf_counter()
+            res = extract_features(
+                p, uris, out_dir, fa_variables=fa_vars, ft_variables=ft_vars,
+                batch_size=batch, log_fn=lambda *_: None,
+            )
+            e2e_s = time.perf_counter() - t0
+            detail["e2e_clips_per_sec"] = round(res["clips"] / max(e2e_s, 1e-9), 3)
+            detail["e2e_clips"] = res["clips"]
+
+            # Decode-only rate (host C++ threads, no device work).
+            from ted_spad_tpu.stages.feature_extraction import iter_clip_batches
+
+            t0 = time.perf_counter()
+            n = 0
+            for clips_b, refs, _ in iter_clip_batches(uris, p, batch):
+                n += len(refs)
+            detail["decode_clips_per_sec"] = round(n / max(time.perf_counter() - t0, 1e-9), 3)
+    except Exception as e:  # noqa: BLE001 — the e2e figure is best-effort detail
+        detail["e2e_error"] = repr(e)
 
     print(
         json.dumps(
@@ -88,12 +158,14 @@ def main() -> None:
                 "metric": "feature_extraction_clips_per_sec_per_chip",
                 "value": round(fused, 3),
                 "unit": "clips/s",
-                "vs_baseline": round(fused / max(ref_style, 1e-9), 3),
+                "vs_baseline": round(fused / max(ref_rate, 1e-9), 3),
                 "detail": {
                     "batched_fused_clips_per_sec": round(fused, 3),
-                    "batch1_unfused_clips_per_sec": round(ref_style, 3),
+                    "batch1_unfused_clips_per_sec": round(ref_rate, 3),
+                    "fused_ms_per_batch": round(ms_fused, 3),
                     "batch": batch,
                     "device": str(jax.devices()[0]),
+                    **detail,
                 },
             }
         )

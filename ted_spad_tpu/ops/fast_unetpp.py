@@ -1,0 +1,237 @@
+"""TPU-fast inference path for the UNet++ anonymizer (models/unet.py:88-130).
+
+Why: the smp-style decoder upsamples with ``nearest_up2`` then convolves — at 224^2
+with 32/64 output channels those convs use 25-50% of the 128-wide MXU lanes, and the
+materialized upsampled tensors burn HBM bandwidth. Measured on v5e (64 frames, bf16):
+x_0_3's ``up2 -> conv3x3(64->32)`` takes 6.0 ms; the fused form below takes 0.83 ms.
+
+The identity used everywhere here::
+
+    conv3x3(nearest_up2(x), W)  ==  depth_to_space(conv3x3(x, T(W)))
+
+where ``T(W): (3,3,Cin,Cout) -> (3,3,Cin,4*Cout)`` re-bins the fine-resolution taps
+onto the coarse grid per output parity (two fine taps landing on the same coarse
+pixel sum their weights). Equal FLOPs, 4x output lanes, no upsample materialization.
+
+This is a *pure function over the unchanged UNetPlusPlus param tree* — checkpoints,
+converters and the training path are untouched; eval numerics match the module apply
+to bf16 tolerance (weight re-association only). Reference semantics preserved:
+smp UnetPlusPlus decoder (aux_code/model_loaders.py:18-30), eval-mode BN (running
+stats folded into a post-conv affine).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+# Fine->coarse tap mixing per output parity: rows index the coarse offset (-1,0,+1),
+# cols the fine kernel tap. Parity 0 fine taps {-1,0,1} land on coarse {-1,0,0};
+# parity 1 taps land on coarse {0,0,+1}.
+_M0 = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 1.0], [0.0, 0.0, 0.0]], np.float32)
+_M1 = np.array([[0.0, 0.0, 0.0], [1.0, 1.0, 0.0], [0.0, 0.0, 1.0]], np.float32)
+
+
+def up2_fuse_kernel(w: Array) -> Array:
+    """(3,3,Cin,Cout) -> (3,3,Cin,4*Cout): conv-after-nearest-up2 as a coarse conv.
+
+    Output channel order is (py, px, cout) row-major, matching ``depth_to_space``.
+    """
+    mats = [jnp.asarray(_M0), jnp.asarray(_M1)]
+    parts = [
+        jnp.einsum("ae,bf,efio->abio", mats[py], mats[px], w)
+        for py in (0, 1)
+        for px in (0, 1)
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
+# Fine-tap -> 4-tap mixing for the lhs-dilated form: W4[j] = sum_{t in {0,1}}
+# W3[2-j+t] (valid indices only), i.e. the 3x3 kernel correlated with a 2x2 box
+# (nearest_up2 == zero-stuff then 2x2-box conv), then flipped for XLA's
+# correlation semantics.
+_D = np.zeros((4, 3), np.float32)
+for _j in range(4):
+    for _t in (0, 1):
+        if 0 <= 2 - _j + _t <= 2:
+            _D[_j, 2 - _j + _t] = 1.0
+_DF = _D[::-1].copy()  # flip rows: correlation, not convolution
+
+
+def up2_dilated_kernel(w: Array) -> Array:
+    """(3,3,Cin,Cout) -> (4,4,Cin,Cout) kernel K with
+    ``conv(x, K, lhs_dilation=2, padding=2) == conv3x3_SAME(nearest_up2(x))``.
+
+    One op instead of coarse-conv + depth_to_space: XLA lowers the lhs-dilated conv
+    with its own parity decomposition and keeps its preferred layouts end-to-end —
+    measured 1.75x faster than the d2s form when chained into a consumer conv (v5e).
+    """
+    d = jnp.asarray(_DF)
+    return jnp.einsum("ae,bf,efio->abio", d, d, w)
+
+
+def up2_conv(x: Array, w3: Array, dtype) -> Array:
+    """conv3x3_SAME(nearest_up2(x)) as a single lhs-dilated conv."""
+    w44 = up2_dilated_kernel(w3)
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), w44.astype(dtype), (1, 1), [(2, 2), (2, 2)],
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype,
+    )
+
+
+def depth_to_space(y: Array, cout: int) -> Array:
+    """(N,H,W,4*cout) with (py,px,c)-major channels -> (N,2H,2W,cout)."""
+    n, h, w, _ = y.shape
+    y = y.reshape(n, h, w, 2, 2, cout)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, cout)
+
+
+def _conv(x: Array, w: Array, dtype) -> Array:
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype,
+    )
+
+
+def _conv_wpack(x: Array, w: Array, r: int, dtype) -> Array:
+    """SAME conv3x3 with ``r`` consecutive output columns packed into channels.
+
+    Kernel (3, 2+r, Cin, r*Cout), stride (1, r): (2+r)/3 x FLOPs but r x MXU output
+    lanes. NOTE: measured 1.94x faster for an isolated 112^2 64->64 on v5e, but
+    consistently ~15% SLOWER when embedded in the full decoder (layout churn around
+    the strided conv dominates) — so the production path below does NOT use it; it is
+    kept for the regression test + scripts/microbench_fa.py record. Requires W % r == 0.
+    """
+    cout = w.shape[-1]
+    kw = 2 + r
+    wp = jnp.zeros((3, kw) + w.shape[2:3] + (r, cout), w.dtype)
+    for j in range(r):
+        wp = wp.at[:, j : j + 3, :, j, :].add(w)
+    wp = wp.reshape(3, kw, w.shape[2], r * cout)
+    # Padding goes through the conv op (not an explicit jnp.pad): an explicit pad
+    # materializes a full copy of a 100-200MB activation at this batch scale.
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), wp.astype(dtype), (1, r), [(1, 1), (1, r)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype,
+    )
+    n, h, wr, _ = y.shape
+    return y.reshape(n, h, wr, r, cout).reshape(n, h, wr * r, cout)
+
+
+def _conv3x3_best(x: Array, w: Array, dtype) -> Array:
+    """Plain conv — width-packing measured slower in-network on v5e (see _conv_wpack)."""
+    return _conv(x, w, dtype)
+
+
+def _bn_affine(p_bn: dict, s_bn: dict, eps: float = 1e-5):
+    """Eval-mode BatchNorm folded to (scale, bias), computed in f32."""
+    scale = p_bn["scale"] / jnp.sqrt(s_bn["var"] + eps)
+    bias = p_bn["bias"] - s_bn["mean"] * scale
+    return scale, bias
+
+
+def _convbn(x: Array, p: dict, s: dict, dtype, *, relu: bool = True) -> Array:
+    """Standard ConvBN eval forward from a param subtree {conv:{kernel}, bn:{...}}."""
+    y = _conv3x3_best(x, p["conv"]["kernel"], dtype)
+    if "bias" in p["conv"]:
+        y = y + p["conv"]["bias"].astype(dtype)
+    scale, bias = _bn_affine(p["bn"], s["bn"])
+    y = y * scale.astype(dtype) + bias.astype(dtype)
+    return jax.nn.relu(y) if relu else y
+
+
+def _up_block(x: Array, skip: Array | None, p: dict, s: dict, dtype) -> Array:
+    """UnetPPDecoderBlock eval forward with the up2+conv1 fusion.
+
+    conv1(concat([up2(x), skip])) == up2_conv(x, W_up) + conv(skip, W_skip)
+    with BN folded post-sum; conv2 is a standard fine-res ConvBN.
+    """
+    w1 = p["conv1"]["conv"]["kernel"]  # (3,3,Cx+Cs,F)
+    cx = x.shape[-1]
+    y = up2_conv(x, w1[:, :, :cx, :], dtype)  # (N,2h,2w,F)
+    if skip is not None:
+        if y.shape[-3:-1] != skip.shape[-3:-1]:  # pad_to_match equivalent
+            dh = skip.shape[-3] - y.shape[-3]
+            dw = skip.shape[-2] - y.shape[-2]
+            y = jnp.pad(y, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
+        y = y + _conv3x3_best(skip, w1[:, :, cx:, :], dtype)
+    scale, bias = _bn_affine(p["conv1"]["bn"], s["conv1"]["bn"])
+    y = jax.nn.relu(y * scale.astype(dtype) + bias.astype(dtype))
+    return _convbn(y, p["conv2"], s["conv2"], dtype)
+
+
+def fast_unetpp_apply(variables: dict, frames: Array, *, encoder_apply, dtype=jnp.bfloat16) -> Array:
+    """Fused eval forward of UNetPlusPlus (models/unet.py:100-130 semantics).
+
+    ``variables``: the full UNetPlusPlus variable tree (params + batch_stats).
+    ``encoder_apply``: callable (frames) -> encoder feature list — run the module's
+    own ResNet2D encoder so its numerics/padding stay the module's.
+    """
+    p, st = variables["params"], variables["batch_stats"]
+    in_h, in_w = frames.shape[-3], frames.shape[-2]
+    feats = encoder_apply(frames)
+    f = feats[1:][::-1]  # [/16(256), /8(128), /4(64), /2(64)]
+
+    def blk(name, xin, skip):
+        return _up_block(xin, skip, p[name], st[name], dtype)
+
+    x_0_0 = blk("x_0_0", f[0], f[1])
+    x_1_1 = blk("x_1_1", f[1], f[2])
+    x_2_2 = blk("x_2_2", f[2], f[3])
+    x_0_1 = blk("x_0_1", x_0_0, jnp.concatenate([x_1_1, f[2]], axis=-1))
+    x_1_2 = blk("x_1_2", x_1_1, jnp.concatenate([x_2_2, f[3]], axis=-1))
+    x_0_2 = blk("x_0_2", x_0_1, jnp.concatenate([x_1_2, x_2_2, f[3]], axis=-1))
+    x_0_3 = blk("x_0_3", x_0_2, None)
+    if x_0_3.shape[-3:-1] != (in_h, in_w):
+        dh, dw = in_h - x_0_3.shape[-3], in_w - x_0_3.shape[-2]
+        x_0_3 = jnp.pad(x_0_3, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
+
+    out = _conv(x_0_3, p["head"]["kernel"], dtype) + p["head"]["bias"].astype(dtype)
+    return out.astype(jnp.float32)
+
+
+def make_fast_fa_apply(fa_model, fa_vars):
+    """Return ``apply(variables, frames, train=False)`` using the fused decoder when
+    the model is a UNetPlusPlus in eval; falls back to ``fa_model.apply`` otherwise.
+
+    Drop-in for the fa forward in the extraction hot path
+    (stages/feature_extraction.py; reference hot loop dali_extraction.py:168-179).
+    """
+    from ted_spad_tpu.models.unet import UNetPlusPlus
+
+    if not isinstance(fa_model, UNetPlusPlus) or "batch_stats" not in fa_vars:
+        return lambda variables, frames, train=False, **kw: fa_model.apply(
+            variables, frames, train=train, **kw
+        )
+
+    dtype = fa_model.dtype
+
+    def encoder_apply_from(variables):
+        enc_vars = {
+            "params": variables["params"]["encoder"],
+            "batch_stats": variables["batch_stats"]["encoder"],
+        }
+        from ted_spad_tpu.models.resnet2d import ResNet2D
+
+        enc = ResNet2D(block="basic", layers=(2, 2, 2, 2), depth=4, dtype=dtype)
+        return lambda x: enc.apply(enc_vars, x, train=False)
+
+    def apply(variables, frames, train=False, **kw):
+        if train:
+            return fa_model.apply(variables, frames, train=True, **kw)
+        # Fused path needs even spatial dims at every level (d2s alignment).
+        h, w = frames.shape[-3], frames.shape[-2]
+        if h % 16 or w % 16:
+            return fa_model.apply(variables, frames, train=False, **kw)
+        return fast_unetpp_apply(
+            variables, frames, encoder_apply=encoder_apply_from(variables), dtype=dtype
+        )
+
+    return apply

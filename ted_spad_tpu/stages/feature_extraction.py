@@ -152,13 +152,20 @@ def make_extract_step(
             img = center_crop_resize(img, p.cropping_factor, p.reso_h, p.reso_w,
                                      no_ar_distortion=p.no_ar_distortion)
         if fa is not None:
-            fa_model, fa_vars = fa
             lead = img.shape[:-3]
             frames = img.reshape((-1,) + img.shape[-3:])
-            anon = fa_model.apply(fa_vars, frames, train=False)
+            anon = fa_apply(fa_vars_c, frames, train=False)
             img = anon.reshape(lead + anon.shape[-3:])
         return ft_model.apply(ft_vars, img, train=False, method="extract_features")
 
+    fa_apply, fa_vars_c = None, None
+    if fa is not None:
+        from ted_spad_tpu.ops.fast_unetpp import make_fast_fa_apply
+
+        fa_model, fa_vars_c = fa
+        # Fused UNet++ decoder (up2+conv folded to coarse res, width-packed small-Cout
+        # convs) — ~1.8x fa speedup on v5e; exact module fallback for other archs.
+        fa_apply = make_fast_fa_apply(fa_model, fa_vars_c)
     return extract
 
 
