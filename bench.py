@@ -122,10 +122,14 @@ def main() -> None:
 
         if native_available():
             tmp = tempfile.mkdtemp(prefix="bench_vids_")
-            rng2 = np.random.default_rng(1)
             uris = []
+            # Structured frames (moving gradients), not noise: noise is the x264
+            # worst case and would benchmark the entropy coder, not the pipeline.
+            yy, xx = np.mgrid[0:240, 0:320].astype(np.float32)
             for i in range(6):
-                frames = rng2.integers(0, 255, (128, 240, 320, 3), dtype=np.uint8)
+                t = np.arange(128, dtype=np.float32)[:, None, None]
+                plane = 127.5 + 60 * np.sin(xx / 24 + t / 7 + i) + 50 * np.cos(yy / 31 - t / 11)
+                frames = np.clip(plane, 0, 255).astype(np.uint8)[..., None].repeat(3, axis=-1)
                 path = os.path.join(tmp, f"v{i}.mp4")
                 write_mp4(path, frames, fps=25.0)
                 uris.append(path)

@@ -153,6 +153,12 @@ class I3Res50(nn.Module):
     def features(self, x: Array, train: bool = False, frozen_bn: bool = False) -> Array:
         """Backbone to 2048-d pooled feature (== extract_features, large_i3d.py:249-263)."""
         x = self.stem(x, train, frozen_bn)
+        return self.features_from_stem(x, train, frozen_bn)
+
+    def features_from_stem(self, x: Array, train: bool = False, frozen_bn: bool = False) -> Array:
+        """Backbone from the stem's output onward — entry point for the space-to-depth
+        fast stem (ops/fast_i3d.py), which computes the lane-starved (5,7,7) Cin=3 stem
+        conv externally with exactly re-binned taps."""
         x = max_pool_valid(x, (2, 3, 3), (2, 2, 2))
         for bi in range(_LAYER_SPECS[0][1]):
             x = self.blocks[f"layer1_{bi}"](x, train, frozen_bn)
@@ -222,3 +228,6 @@ class WrapperI3D(nn.Module):
 
     def extract_features(self, x: Array, train: bool = False, frozen_bn: bool = False) -> Array:
         return self.i3d.features(x, train, frozen_bn)
+
+    def extract_features_from_stem(self, x: Array, train: bool = False, frozen_bn: bool = False) -> Array:
+        return self.i3d.features_from_stem(x, train, frozen_bn)

@@ -1,0 +1,96 @@
+"""TPU-fast inference stem for I3Res50 (models/i3res50.py; reference large_i3d.py:135).
+
+The stem is a (5,7,7)/stride-(2,2,2) conv with Cin=3 — three input lanes of 128 on the
+MXU. Profiled on v5e it is the single most expensive op of the whole extraction
+program (11.8 ms of 62 ms per 256-frame batch, 12.8 TF/s).
+
+Fix: re-bin the spatial taps onto a 2x2 space-to-depth grid. With the input viewed as
+(T, H/2, W/2, 12), the 7-tap stride-2 spatial window becomes a 4-tap stride-1 window
+over coarse pixels, and each fine tap (offset k) lands at coarse offset floor(k/2),
+parity k mod 2 — an EXACT weight permutation (zero extra FLOPs, 4x the input lanes).
+
+Pure function over the unchanged WrapperI3D/I3Res50 param tree; the rest of the
+backbone runs through the module via ``method="extract_features_from_stem"``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def space_to_depth_2x2(x: Array) -> Array:
+    """(..., H, W, C) -> (..., H/2, W/2, 4C) with (py, px, c)-major channel order."""
+    *lead, h, w, c = x.shape
+    x = x.reshape(*lead, h // 2, 2, w // 2, 2, c)
+    nd = x.ndim
+    # (..., h2, 2, w2, 2, c) -> (..., h2, w2, 2, 2, c)
+    perm = tuple(range(nd - 5)) + (nd - 5, nd - 3, nd - 4, nd - 2, nd - 1)
+    return x.transpose(perm).reshape(*lead, h // 2, w // 2, 4 * c)
+
+
+def stem_s2d_kernel(w: Array) -> Array:
+    """(5,7,7,3,Cout) -> (5,4,4,12,Cout): exact tap re-binning for the s2d input.
+
+    Fine offset k = j - 3 (j the kernel index) maps to coarse tap a = floor(k/2)+2
+    and parity q = k mod 2; input channel block (qy, qx, c) matches
+    ``space_to_depth_2x2``'s channel order.
+    """
+    kt, kh, kw, cin, cout = w.shape
+    assert (kh, kw, cin) == (7, 7, 3), w.shape
+    ws = jnp.zeros((kt, 4, 4, 4, cin, cout), w.dtype)
+    for jy in range(7):
+        ay, qy = (jy - 3) // 2 + 2, (jy - 3) % 2
+        for jx in range(7):
+            ax, qx = (jx - 3) // 2 + 2, (jx - 3) % 2
+            ws = ws.at[:, ay, ax, qy * 2 + qx, :, :].set(w[:, jy, jx])
+    return ws.reshape(kt, 4, 4, 4 * cin, cout)
+
+
+def make_fast_ft_extract(ft_model):
+    """Return ``extract(variables, clips, train=False)`` == the module's
+    ``extract_features`` (stages/feature_extraction.py hot path;
+    reference dali_extraction.py:175-179) with the stem computed s2d-fast.
+
+    Falls back to the module apply for non-largei3d models, train mode, or odd
+    spatial sizes.
+    """
+    from ted_spad_tpu.models.i3res50 import WrapperI3D
+
+    def module_apply(variables, x, train=False):
+        return ft_model.apply(variables, x, train=train, method="extract_features")
+
+    if not isinstance(ft_model, WrapperI3D):
+        return module_apply
+
+    dtype = ft_model.dtype
+    eps = 1e-5
+
+    def extract(variables, x, train=False, input_s2d=False):
+        if train or "batch_stats" not in variables or (
+            not input_s2d and (x.shape[-2] % 2 or x.shape[-3] % 2)
+        ):
+            assert not input_s2d or not train, "s2d input unsupported in train mode"
+            return module_apply(variables, x, train=train)
+        p = variables["params"]["i3d"]["stem"]
+        s = variables["batch_stats"]["i3d"]["stem"]
+        ws = stem_s2d_kernel(p["conv"]["kernel"])
+        xs = x.astype(dtype) if input_s2d else space_to_depth_2x2(x.astype(dtype))
+        # Fine pad (3,3) -> coarse pad (2,1) per spatial dim; temporal pad (2,2)
+        # unchanged (stem padding [(2,2),(3,3),(3,3)], i3res50.py:130-132).
+        y = jax.lax.conv_general_dilated(
+            xs, ws.astype(dtype), (2, 1, 1), [(2, 2), (2, 1), (2, 1)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=dtype,
+        )
+        scale = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + eps)
+        bias = p["bn"]["bias"] - s["bn"]["mean"] * scale
+        y = jax.nn.relu(y * scale.astype(dtype) + bias.astype(dtype))
+        return ft_model.apply(
+            variables, y, train=False, method="extract_features_from_stem"
+        )
+
+    extract.supports_s2d = True
+    return extract

@@ -155,43 +155,120 @@ def _up_block(x: Array, skip: Array | None, p: dict, s: dict, dtype) -> Array:
     """
     w1 = p["conv1"]["conv"]["kernel"]  # (3,3,Cx+Cs,F)
     cx = x.shape[-1]
-    y = up2_conv(x, w1[:, :, :cx, :], dtype)  # (N,2h,2w,F)
+    skip_sum = None
     if skip is not None:
-        if y.shape[-3:-1] != skip.shape[-3:-1]:  # pad_to_match equivalent
-            dh = skip.shape[-3] - y.shape[-3]
-            dw = skip.shape[-2] - y.shape[-2]
+        skip_sum = _conv3x3_best(skip, w1[:, :, cx:, :], dtype)
+    return _up_block_parts(x, skip_sum, p, s, dtype)
+
+
+def _up_block_parts(x: Array, skip_sum: Array | None, p: dict, s: dict, dtype) -> Array:
+    """Block forward when the skip contribution to conv1 is already computed
+    (possibly as a slice of a batched multi-consumer conv)."""
+    w1 = p["conv1"]["conv"]["kernel"]
+    cx = x.shape[-1]
+    y = up2_conv(x, w1[:, :, :cx, :], dtype)  # (N,2h,2w,F)
+    if skip_sum is not None:
+        if y.shape[-3:-1] != skip_sum.shape[-3:-1]:  # pad_to_match equivalent
+            dh = skip_sum.shape[-3] - y.shape[-3]
+            dw = skip_sum.shape[-2] - y.shape[-2]
             y = jnp.pad(y, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
-        y = y + _conv3x3_best(skip, w1[:, :, cx:, :], dtype)
+        y = y + skip_sum
     scale, bias = _bn_affine(p["conv1"]["bn"], s["conv1"]["bn"])
     y = jax.nn.relu(y * scale.astype(dtype) + bias.astype(dtype))
     return _convbn(y, p["conv2"], s["conv2"], dtype)
 
 
-def fast_unetpp_apply(variables: dict, frames: Array, *, encoder_apply, dtype=jnp.bfloat16) -> Array:
+def head_s2d_kernel(w: Array) -> Array:
+    """(3,3,Cin,Cout) -> (4,4,Cin,4*Cout) stride-2 kernel emitting the head output in
+    2x2 space-to-depth layout ((py,px,c)-major channels), fusing the s2d transpose
+    the downstream I3Res50 fast stem would otherwise pay (ops/fast_i3d.py)."""
+    kh, kw, cin, cout = w.shape
+    ws = jnp.zeros((4, 4, cin, 4, cout), w.dtype)
+    for qy in (0, 1):
+        for qx in (0, 1):
+            for ky in range(3):
+                for kx in range(3):
+                    ws = ws.at[ky + qy, kx + qx, :, qy * 2 + qx, :].set(w[ky, kx])
+    return ws.reshape(4, 4, cin, 4 * cout)
+
+
+def fast_unetpp_apply(
+    variables: dict, frames: Array, *, encoder_apply, dtype=jnp.bfloat16, emit_s2d: bool = False
+) -> Array:
     """Fused eval forward of UNetPlusPlus (models/unet.py:100-130 semantics).
 
     ``variables``: the full UNetPlusPlus variable tree (params + batch_stats).
     ``encoder_apply``: callable (frames) -> encoder feature list — run the module's
     own ResNet2D encoder so its numerics/padding stay the module's.
+    ``emit_s2d``: return (N, H/2, W/2, 12) space-to-depth output in ``dtype`` (for
+    feeding the I3Res50 fast stem directly) instead of (N, H, W, 3) float32.
     """
     p, st = variables["params"], variables["batch_stats"]
     in_h, in_w = frames.shape[-3], frames.shape[-2]
     feats = encoder_apply(frames)
     f = feats[1:][::-1]  # [/16(256), /8(128), /4(64), /2(64)]
 
-    def blk(name, xin, skip):
-        return _up_block(xin, skip, p[name], st[name], dtype)
+    def w1(name):
+        return p[name]["conv1"]["conv"]["kernel"]
 
-    x_0_0 = blk("x_0_0", f[0], f[1])
-    x_1_1 = blk("x_1_1", f[1], f[2])
-    x_2_2 = blk("x_2_2", f[2], f[3])
-    x_0_1 = blk("x_0_1", x_0_0, jnp.concatenate([x_1_1, f[2]], axis=-1))
-    x_1_2 = blk("x_1_2", x_1_1, jnp.concatenate([x_2_2, f[3]], axis=-1))
-    x_0_2 = blk("x_0_2", x_0_1, jnp.concatenate([x_1_2, x_2_2, f[3]], axis=-1))
+    def blk(name, xin, skip_sum):
+        return _up_block_parts(xin, skip_sum, p[name], st[name], dtype)
+
+    # Multi-consumer skip convs are batched along Cout so each runs with full MXU
+    # lanes: f[2] feeds x_1_1 + x_0_1, f[3] feeds x_2_2 + x_1_2 + x_0_2, and x_2_2
+    # feeds x_1_2 + x_0_2. Channel slices follow the module's concat layout
+    # (conv1 input = [up(x), *skips], models/unet.py:114-121).
+    x_0_0 = blk("x_0_0", f[0], _conv(f[1], w1("x_0_0")[:, :, 256:384, :], dtype))
+    f2c = _conv(
+        f[2],
+        jnp.concatenate(
+            [w1("x_1_1")[:, :, 128:192, :], w1("x_0_1")[:, :, 320:384, :]], axis=-1
+        ),
+        dtype,
+    )  # (.., 64+128)
+    f3c = _conv(
+        f[3],
+        jnp.concatenate(
+            [
+                w1("x_2_2")[:, :, 64:128, :],
+                w1("x_1_2")[:, :, 128:192, :],
+                w1("x_0_2")[:, :, 256:320, :],
+            ],
+            axis=-1,
+        ),
+        dtype,
+    )  # (.., 64*3)
+    x_1_1 = blk("x_1_1", f[1], f2c[..., :64])
+    x_2_2 = blk("x_2_2", f[2], f3c[..., :64])
+    x22c = _conv(
+        x_2_2,
+        jnp.concatenate(
+            [w1("x_1_2")[:, :, 64:128, :], w1("x_0_2")[:, :, 192:256, :]], axis=-1
+        ),
+        dtype,
+    )  # (.., 64+64)
+    x_0_1 = blk("x_0_1", x_0_0, _conv(x_1_1, w1("x_0_1")[:, :, 256:320, :], dtype) + f2c[..., 64:192])
+    x_1_2 = blk("x_1_2", x_1_1, x22c[..., :64] + f3c[..., 64:128])
+    x_0_2 = blk(
+        "x_0_2",
+        x_0_1,
+        _conv(x_1_2, w1("x_0_2")[:, :, 128:192, :], dtype)
+        + x22c[..., 64:128]
+        + f3c[..., 128:192],
+    )
     x_0_3 = blk("x_0_3", x_0_2, None)
     if x_0_3.shape[-3:-1] != (in_h, in_w):
         dh, dw = in_h - x_0_3.shape[-3], in_w - x_0_3.shape[-2]
         x_0_3 = jnp.pad(x_0_3, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
+
+    if emit_s2d:
+        ws = head_s2d_kernel(p["head"]["kernel"])
+        y = jax.lax.conv_general_dilated(
+            x_0_3.astype(dtype), ws.astype(dtype), (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dtype,
+        )
+        return y + jnp.tile(p["head"]["bias"], 4).astype(dtype)
 
     out = _conv(x_0_3, p["head"]["kernel"], dtype) + p["head"]["bias"].astype(dtype)
     return out.astype(jnp.float32)
@@ -207,9 +284,11 @@ def make_fast_fa_apply(fa_model, fa_vars):
     from ted_spad_tpu.models.unet import UNetPlusPlus
 
     if not isinstance(fa_model, UNetPlusPlus) or "batch_stats" not in fa_vars:
-        return lambda variables, frames, train=False, **kw: fa_model.apply(
-            variables, frames, train=train, **kw
-        )
+        def plain(variables, frames, train=False, emit_s2d=False, **kw):
+            assert not emit_s2d, "emit_s2d requires the fused UNet++ path"
+            return fa_model.apply(variables, frames, train=train, **kw)
+
+        return plain
 
     dtype = fa_model.dtype
 
@@ -223,15 +302,25 @@ def make_fast_fa_apply(fa_model, fa_vars):
         enc = ResNet2D(block="basic", layers=(2, 2, 2, 2), depth=4, dtype=dtype)
         return lambda x: enc.apply(enc_vars, x, train=False)
 
-    def apply(variables, frames, train=False, **kw):
+    def apply(variables, frames, train=False, emit_s2d=False, **kw):
+        def fallback(train):
+            out = fa_model.apply(variables, frames, train=train, **kw)
+            if emit_s2d:
+                from ted_spad_tpu.ops.fast_i3d import space_to_depth_2x2
+
+                out = space_to_depth_2x2(out.astype(dtype))
+            return out
+
         if train:
-            return fa_model.apply(variables, frames, train=True, **kw)
+            return fallback(True)
         # Fused path needs even spatial dims at every level (d2s alignment).
         h, w = frames.shape[-3], frames.shape[-2]
         if h % 16 or w % 16:
-            return fa_model.apply(variables, frames, train=False, **kw)
+            return fallback(False)
         return fast_unetpp_apply(
-            variables, frames, encoder_apply=encoder_apply_from(variables), dtype=dtype
+            variables, frames, encoder_apply=encoder_apply_from(variables), dtype=dtype,
+            emit_s2d=emit_s2d,
         )
 
+    apply.supports_s2d = True
     return apply

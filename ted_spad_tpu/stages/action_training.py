@@ -48,9 +48,11 @@ from ted_spad_tpu.utils.checkpoint import BestCheckpointer, load_checkpoint, res
 def _apply_fa_frames(fa_model, fa_vars, video: jnp.ndarray) -> jnp.ndarray:
     """Frozen per-frame anonymization of (..., T, H, W, C) video (clean layout — see
     ops/temporal.scrambled_frame_view for the reference's reshape quirk)."""
+    from ted_spad_tpu.ops.fast_unetpp import make_fast_fa_apply
+
     lead = video.shape[:-3]
     frames = video.reshape((-1,) + video.shape[-3:])
-    out = fa_model.apply(fa_vars, frames, train=False)
+    out = make_fast_fa_apply(fa_model, fa_vars)(fa_vars, frames, train=False)
     return jax.lax.stop_gradient(out.reshape(lead + out.shape[-3:]))
 
 

@@ -154,18 +154,33 @@ def make_extract_step(
         if fa is not None:
             lead = img.shape[:-3]
             frames = img.reshape((-1,) + img.shape[-3:])
-            anon = fa_apply(fa_vars_c, frames, train=False)
+            # Bridged mode: fa's head emits the 2x2 space-to-depth layout that the
+            # I3Res50 fast stem consumes, so no transpose sits between the models.
+            bridged = (
+                getattr(fa_apply, "supports_s2d", False)
+                and getattr(ft_extract, "supports_s2d", False)
+                and p.reso_h % 16 == 0
+                and p.reso_w % 16 == 0
+            )
+            anon = fa_apply(fa_vars_c, frames, train=False, emit_s2d=bridged)
             img = anon.reshape(lead + anon.shape[-3:])
-        return ft_model.apply(ft_vars, img, train=False, method="extract_features")
+            if bridged:
+                return ft_extract(ft_vars, img, train=False, input_s2d=True)
+        return ft_extract(ft_vars, img, train=False)
 
     fa_apply, fa_vars_c = None, None
     if fa is not None:
         from ted_spad_tpu.ops.fast_unetpp import make_fast_fa_apply
 
         fa_model, fa_vars_c = fa
-        # Fused UNet++ decoder (up2+conv folded to coarse res, width-packed small-Cout
-        # convs) — ~1.8x fa speedup on v5e; exact module fallback for other archs.
+        # Fused UNet++ decoder (up2+conv folded into lhs-dilated convs) — ~1.5x fa
+        # speedup on v5e; exact module fallback for other archs / odd sizes.
         fa_apply = make_fast_fa_apply(fa_model, fa_vars_c)
+    from ted_spad_tpu.ops.fast_i3d import make_fast_ft_extract
+
+    # s2d fast stem for I3Res50 (the profiled extraction hotspot); module fallback
+    # for other ft architectures.
+    ft_extract = make_fast_ft_extract(ft_model)
     return extract
 
 

@@ -93,7 +93,10 @@ def train_privacy(
         )
         if fa_variables is not None:
             fa_vars = fa_variables
-        fa_apply = lambda img: fa_model.apply(fa_vars, img, train=False)
+        from ted_spad_tpu.ops.fast_unetpp import make_fast_fa_apply
+
+        _fast_fa = make_fast_fa_apply(fa_model, fa_vars)
+        fa_apply = lambda img: _fast_fa(fa_vars, img, train=False)
 
     optimizer = make_optimizer("adam", p.learning_rate)
     opt_state = optimizer.init(variables["params"])

@@ -24,10 +24,14 @@ from ted_spad_tpu.models import load_fa_model
 
 
 def make_anonymize_fn(fa_model, fa_vars) -> Callable:
+    from ted_spad_tpu.ops.fast_unetpp import make_fast_fa_apply
+
+    fast_fa = make_fast_fa_apply(fa_model, fa_vars)
+
     @jax.jit
     def anonymize(frames_u8):
         img = frames_u8.astype(jnp.float32) / 255.0
-        out = fa_model.apply(fa_vars, img, train=False)
+        out = fast_fa(fa_vars, img, train=False)
         return jnp.clip(out, 0.0, 1.0)
 
     return anonymize

@@ -58,6 +58,19 @@ class TestFastApplyParity:
         assert got.shape == ref.shape and got.dtype == ref.dtype
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
+    def test_emit_s2d_matches_head_output(self):
+        from ted_spad_tpu.ops.fast_i3d import space_to_depth_2x2
+
+        fa_model, fa_vars = load_fa_model(image_size=(64, 64), dtype="float32")
+        x = jax.random.normal(jax.random.PRNGKey(6), (2, 64, 64, 3))
+        fast = make_fast_fa_apply(fa_model, fa_vars)
+        fine = fast(fa_vars, x, train=False)
+        s2d = fast(fa_vars, x, train=False, emit_s2d=True)
+        assert s2d.shape == (2, 32, 32, 12)
+        np.testing.assert_allclose(
+            np.asarray(space_to_depth_2x2(fine)), np.asarray(s2d), rtol=2e-4, atol=2e-4
+        )
+
     def test_train_mode_uses_module(self):
         fa_model, fa_vars = load_fa_model(image_size=(32, 32), dtype="float32")
         x = jnp.ones((1, 32, 32, 3))
