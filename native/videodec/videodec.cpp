@@ -124,28 +124,33 @@ int rewind_to_start(Decoder* dec) {
 int seek_to(Decoder* dec, int64_t target) {
   AVStream* st = dec->fmt->streams[dec->stream_idx];
   const double tb = av_q2d(st->time_base);
-  const int64_t ts = (dec->fps > 0 && tb > 0)
-                         ? static_cast<int64_t>(target / dec->fps / tb)
-                         : 0;
-  int ret = av_seek_frame(dec->fmt, dec->stream_idx, ts, AVSEEK_FLAG_BACKWARD);
-  if (ret < 0) return rewind_to_start(dec);
-  avcodec_flush_buffers(dec->codec);
+  if (tb <= 0 || dec->fps <= 0) return rewind_to_start(dec);
   // After a keyframe seek we do not know the exact frame index; recover it from the
-  // first decoded frame's pts. If the pts is missing or the recovered index already
-  // passed the target (VFR / imprecise avg fps), fall back to an exact linear decode
-  // from frame 0 — slow but never mislabels frames.
-  ret = decode_next(dec);
-  if (ret <= 0) return ret < 0 ? ret : AVERROR_EOF;
-  const int64_t pts = dec->frame->best_effort_timestamp;
-  if (pts == AV_NOPTS_VALUE || tb <= 0 || dec->fps <= 0) {
-    return rewind_to_start(dec);
+  // first decoded frame's pts. If the recovered index already passed the target
+  // (VFR / imprecise avg fps), retry with progressively earlier timestamps (1s, 4s,
+  // 16s back) before the exact-but-O(T) rewind fallback — on long surveillance files
+  // a backward-ish access pattern would otherwise degrade to a full linear decode
+  // per index.
+  double back_s = 0.0;
+  for (int attempt = 0; attempt < 4; ++attempt) {
+    const double t_s = target / dec->fps - back_s;
+    if (t_s < 0) break;
+    const int64_t ts = static_cast<int64_t>(t_s / tb);
+    int ret = av_seek_frame(dec->fmt, dec->stream_idx, ts, AVSEEK_FLAG_BACKWARD);
+    if (ret < 0) return rewind_to_start(dec);
+    avcodec_flush_buffers(dec->codec);
+    ret = decode_next(dec);
+    if (ret <= 0) return ret < 0 ? ret : AVERROR_EOF;
+    const int64_t pts = dec->frame->best_effort_timestamp;
+    if (pts == AV_NOPTS_VALUE) return rewind_to_start(dec);
+    const int64_t idx = static_cast<int64_t>(pts * tb * dec->fps + 0.5);
+    if (idx <= target) {
+      dec->next_frame = idx + 1;
+      return 1;
+    }
+    back_s = back_s == 0.0 ? 1.0 : back_s * 4.0;
   }
-  const int64_t idx = static_cast<int64_t>(pts * tb * dec->fps + 0.5);
-  if (idx > target) {
-    return rewind_to_start(dec);
-  }
-  dec->next_frame = idx + 1;
-  return 1;
+  return rewind_to_start(dec);
 }
 
 }  // namespace
