@@ -231,3 +231,12 @@ class WrapperI3D(nn.Module):
 
     def extract_features_from_stem(self, x: Array, train: bool = False, frozen_bn: bool = False) -> Array:
         return self.i3d.features_from_stem(x, train, frozen_bn)
+
+    def forward_from_stem(self, x: Array, train: bool = False, frozen_bn: bool = False):
+        """__call__ semantics (logits, 128-d emb) from the stem output onward — the
+        logits-path entry for the s2d fast stem (ops/fast_i3d.py)."""
+        feat = self.i3d.features_from_stem(x, train, frozen_bn)
+        h = self.i3d.drop(feat.astype(self.dtype), deterministic=not train)
+        logits = self.i3d.fc(h).astype(jnp.float32)
+        emb = self.mlp(feat, train)
+        return logits, emb

@@ -49,18 +49,15 @@ def stem_s2d_kernel(w: Array) -> Array:
     return ws.reshape(kt, 4, 4, 4 * cin, cout)
 
 
-def make_fast_ft_extract(ft_model):
-    """Return ``extract(variables, clips, train=False)`` == the module's
-    ``extract_features`` (stages/feature_extraction.py hot path;
-    reference dali_extraction.py:175-179) with the stem computed s2d-fast.
-
-    Falls back to the module apply for non-largei3d models, train mode, or odd
-    spatial sizes.
-    """
+def _make_fast(ft_model, fast_method: str, fallback_method: str | None):
+    """Shared factory: s2d fast stem, then the module from ``fast_method`` onward;
+    module apply via ``fallback_method`` (None = __call__) for train / odd sizes /
+    non-largei3d models."""
     from ted_spad_tpu.models.i3res50 import WrapperI3D
 
     def module_apply(variables, x, train=False):
-        return ft_model.apply(variables, x, train=train, method="extract_features")
+        kw = {"method": fallback_method} if fallback_method else {}
+        return ft_model.apply(variables, x, train=train, **kw)
 
     if not isinstance(ft_model, WrapperI3D):
         return module_apply
@@ -68,7 +65,7 @@ def make_fast_ft_extract(ft_model):
     dtype = ft_model.dtype
     eps = 1e-5
 
-    def extract(variables, x, train=False, input_s2d=False):
+    def fast(variables, x, train=False, input_s2d=False):
         if train or "batch_stats" not in variables or (
             not input_s2d and (x.shape[-2] % 2 or x.shape[-3] % 2)
         ):
@@ -88,9 +85,21 @@ def make_fast_ft_extract(ft_model):
         scale = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + eps)
         bias = p["bn"]["bias"] - s["bn"]["mean"] * scale
         y = jax.nn.relu(y * scale.astype(dtype) + bias.astype(dtype))
-        return ft_model.apply(
-            variables, y, train=False, method="extract_features_from_stem"
-        )
+        return ft_model.apply(variables, y, train=False, method=fast_method)
 
-    extract.supports_s2d = True
-    return extract
+    fast.supports_s2d = True
+    return fast
+
+
+def make_fast_ft_extract(ft_model):
+    """``extract(variables, clips, train=False)`` == the module's ``extract_features``
+    (stages/feature_extraction.py hot path; reference dali_extraction.py:175-179)
+    with the stem computed s2d-fast."""
+    return _make_fast(ft_model, "extract_features_from_stem", "extract_features")
+
+
+def make_fast_ft_forward(ft_model):
+    """``forward(variables, clips, train=False) -> (logits, emb)`` == the module's
+    __call__ (action/anonymizer eval sweeps, train_action.py:330-381) with the stem
+    computed s2d-fast."""
+    return _make_fast(ft_model, "forward_from_stem", None)

@@ -122,6 +122,10 @@ def make_eval_step(
     argument* (``eval_step(variables, clips, cf, hflip, fa_vars=...)``) so the anonymizer
     stage's per-epoch fa snapshots don't trigger recompiles."""
 
+    from ted_spad_tpu.ops.fast_i3d import make_fast_ft_forward
+
+    ft_forward = make_fast_ft_forward(ft_model)  # s2d fast stem; module fallback
+
     def one_view(variables, img, hflip, fa_vars):
         if hflip:
             img = img[..., :, ::-1, :]
@@ -130,7 +134,7 @@ def make_eval_step(
             view = _apply_fa_frames(fa[0], fa[1], view)
         elif fa_model is not None and fa_vars is not None:
             view = _apply_fa_frames(fa_model, fa_vars, view)
-        logits, _ = ft_model.apply(variables, view, train=False)
+        logits, _ = ft_forward(variables, view, train=False)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
     def eval_step(variables, clips_u8, cropping_factor, hflip, fa_vars=None):

@@ -41,6 +41,19 @@ def test_fast_extract_matches_module():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+def test_fast_forward_matches_module():
+    from ted_spad_tpu.ops.fast_i3d import make_fast_ft_forward
+
+    ft_model, ft_vars = load_ft_model(
+        "largei3d", num_classes=5, clip_shape=(8, 32, 32), dtype="float32"
+    )
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 32, 32, 3))
+    ref_logits, ref_emb = ft_model.apply(ft_vars, x, train=False)
+    logits, emb = make_fast_ft_forward(ft_model)(ft_vars, x, train=False)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(ref_emb), rtol=2e-4, atol=2e-4)
+
+
 def test_other_arch_falls_back():
     ft_model, ft_vars = load_ft_model("i3d", num_classes=7, clip_shape=(8, 32, 32), dtype="float32")
     x = jnp.ones((1, 8, 32, 32, 3))
