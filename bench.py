@@ -126,8 +126,8 @@ def main() -> None:
             # Structured frames (moving gradients), not noise: noise is the x264
             # worst case and would benchmark the entropy coder, not the pipeline.
             yy, xx = np.mgrid[0:240, 0:320].astype(np.float32)
-            for i in range(6):
-                t = np.arange(128, dtype=np.float32)[:, None, None]
+            for i in range(8):
+                t = np.arange(256, dtype=np.float32)[:, None, None]
                 plane = 127.5 + 60 * np.sin(xx / 24 + t / 7 + i) + 50 * np.cos(yy / 31 - t / 11)
                 frames = np.clip(plane, 0, 255).astype(np.uint8)[..., None].repeat(3, axis=-1)
                 path = os.path.join(tmp, f"v{i}.mp4")
@@ -153,6 +153,15 @@ def main() -> None:
             for clips_b, refs, _ in iter_clip_batches(uris, p, batch):
                 n += len(refs)
             detail["decode_clips_per_sec"] = round(n / max(time.perf_counter() - t0, 1e-9), 3)
+
+            # Host->device bandwidth: contextualizes the e2e figure — through the dev
+            # tunnel this is the e2e bottleneck; on a TPU-attached host it is not.
+            buf = np.zeros((batch, 16, 240, 320, 3), np.uint8)
+            jnp.asarray(buf).block_until_ready()
+            t0 = time.perf_counter()
+            np.asarray(jnp.asarray(buf).reshape(-1)[:8])  # force round trip
+            dt = time.perf_counter() - t0
+            detail["h2d_MB_per_sec"] = round(buf.nbytes / 1e6 / max(dt, 1e-9), 1)
     except Exception as e:  # noqa: BLE001 — the e2e figure is best-effort detail
         detail["e2e_error"] = repr(e)
 
