@@ -132,6 +132,10 @@ int seek_to(Decoder* dec, int64_t target) {
   // a backward-ish access pattern would otherwise degrade to a full linear decode
   // per index.
   double back_s = 0.0;
+  int64_t prev_idx = INT64_MAX;  // recovered indices must strictly decrease across
+                                 // retries, else the pts->index model is unreliable
+                                 // (constant/garbage pts) and only the exact rewind
+                                 // never mislabels frames.
   for (int attempt = 0; attempt < 4; ++attempt) {
     const double t_s = target / dec->fps - back_s;
     if (t_s < 0) break;
@@ -148,6 +152,8 @@ int seek_to(Decoder* dec, int64_t target) {
       dec->next_frame = idx + 1;
       return 1;
     }
+    if (idx >= prev_idx) return rewind_to_start(dec);
+    prev_idx = idx;
     back_s = back_s == 0.0 ? 1.0 : back_s * 4.0;
   }
   return rewind_to_start(dec);

@@ -31,6 +31,17 @@ def space_to_depth_2x2(x: Array) -> Array:
     return x.transpose(perm).reshape(*lead, h // 2, w // 2, 4 * c)
 
 
+def depth_to_space_2x2(x: Array) -> Array:
+    """Inverse of ``space_to_depth_2x2``: (..., H, W, 4C) -> (..., 2H, 2W, C)."""
+    *lead, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(*lead, h, w, 2, 2, c)
+    nd = x.ndim
+    # (..., h, w, 2, 2, c) -> (..., h, 2, w, 2, c)
+    perm = tuple(range(nd - 5)) + (nd - 5, nd - 3, nd - 4, nd - 2, nd - 1)
+    return x.transpose(perm).reshape(*lead, 2 * h, 2 * w, c)
+
+
 def stem_s2d_kernel(w: Array) -> Array:
     """(5,7,7,3,Cout) -> (5,4,4,12,Cout): exact tap re-binning for the s2d input.
 
@@ -69,7 +80,10 @@ def _make_fast(ft_model, fast_method: str, fallback_method: str | None):
         if train or "batch_stats" not in variables or (
             not input_s2d and (x.shape[-2] % 2 or x.shape[-3] % 2)
         ):
-            assert not input_s2d or not train, "s2d input unsupported in train mode"
+            if input_s2d:
+                # Graceful degrade: undo the layout (exact inverse) so the plain
+                # module still sees Cin=3 fine-resolution frames.
+                x = depth_to_space_2x2(x)
             return module_apply(variables, x, train=train)
         p = variables["params"]["i3d"]["stem"]
         s = variables["batch_stats"]["i3d"]["stem"]

@@ -147,20 +147,6 @@ def _convbn(x: Array, p: dict, s: dict, dtype, *, relu: bool = True) -> Array:
     return jax.nn.relu(y) if relu else y
 
 
-def _up_block(x: Array, skip: Array | None, p: dict, s: dict, dtype) -> Array:
-    """UnetPPDecoderBlock eval forward with the up2+conv1 fusion.
-
-    conv1(concat([up2(x), skip])) == up2_conv(x, W_up) + conv(skip, W_skip)
-    with BN folded post-sum; conv2 is a standard fine-res ConvBN.
-    """
-    w1 = p["conv1"]["conv"]["kernel"]  # (3,3,Cx+Cs,F)
-    cx = x.shape[-1]
-    skip_sum = None
-    if skip is not None:
-        skip_sum = _conv3x3_best(skip, w1[:, :, cx:, :], dtype)
-    return _up_block_parts(x, skip_sum, p, s, dtype)
-
-
 def _up_block_parts(x: Array, skip_sum: Array | None, p: dict, s: dict, dtype) -> Array:
     """Block forward when the skip contribution to conv1 is already computed
     (possibly as a slice of a batched multi-consumer conv)."""
@@ -283,7 +269,15 @@ def make_fast_fa_apply(fa_model, fa_vars):
     """
     from ted_spad_tpu.models.unet import UNetPlusPlus
 
-    if not isinstance(fa_model, UNetPlusPlus) or "batch_stats" not in fa_vars:
+    # The batched multi-consumer weight slices in fast_unetpp_apply are derived for
+    # the reference configuration (smp UnetPlusPlus resnet18 depth-4, decoder
+    # (256,128,64,32) — model_loaders.py:18-30); any other width config falls back
+    # to the module rather than silently slicing wrong weight blocks.
+    if (
+        not isinstance(fa_model, UNetPlusPlus)
+        or "batch_stats" not in fa_vars
+        or tuple(fa_model.decoder_channels) != (256, 128, 64, 32)
+    ):
         def plain(variables, frames, train=False, emit_s2d=False, **kw):
             assert not emit_s2d, "emit_s2d requires the fused UNet++ path"
             return fa_model.apply(variables, frames, train=train, **kw)
@@ -322,5 +316,7 @@ def make_fast_fa_apply(fa_model, fa_vars):
             emit_s2d=emit_s2d,
         )
 
-    apply.supports_s2d = True
+    # The s2d bridge feeds a stem expecting 4*3=12 channels; only advertise it for
+    # the standard 3-channel RGB head.
+    apply.supports_s2d = fa_model.out_channels == 3
     return apply
