@@ -147,6 +147,66 @@ def _convbn(x: Array, p: dict, s: dict, dtype, *, relu: bool = True) -> Array:
     return jax.nn.relu(y) if relu else y
 
 
+def _pad_to(y: Array, target_shape) -> Array:
+    """Center-pad y's spatial dims to match target (pad_to_match, models/layers.py:153)."""
+    if y.shape[-3:-1] == tuple(target_shape[-3:-1]):
+        return y
+    dh = target_shape[-3] - y.shape[-3]
+    dw = target_shape[-2] - y.shape[-2]
+    return jnp.pad(y, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
+
+
+def _decoder_schedule(p: dict, f: list, dtype, block) -> Array:
+    """The UNet++ nested-skip decoder with multi-consumer skip convs batched along
+    Cout so each runs with full MXU lanes: f[2] feeds x_1_1 + x_0_1, f[3] feeds
+    x_2_2 + x_1_2 + x_0_2, and x_2_2 feeds x_1_2 + x_0_2. Channel slices follow the
+    module's concat layout (conv1 input = [up(x), *skips], models/unet.py:114-121).
+
+    ``block(name, xin, skip_sum)`` runs one decoder block given the precomputed
+    conv1 skip contribution — eval and train paths plug in their BN flavor.
+    Returns x_0_3 (full-res, pre-head).
+    """
+
+    def w1(name):
+        return p[name]["conv1"]["conv"]["kernel"]
+
+    x_0_0 = block("x_0_0", f[0], _conv(f[1], w1("x_0_0")[:, :, 256:384, :], dtype))
+    f2c = _conv(
+        f[2],
+        jnp.concatenate([w1("x_1_1")[:, :, 128:192, :], w1("x_0_1")[:, :, 320:384, :]], axis=-1),
+        dtype,
+    )  # (.., 64+128)
+    f3c = _conv(
+        f[3],
+        jnp.concatenate(
+            [
+                w1("x_2_2")[:, :, 64:128, :],
+                w1("x_1_2")[:, :, 128:192, :],
+                w1("x_0_2")[:, :, 256:320, :],
+            ],
+            axis=-1,
+        ),
+        dtype,
+    )  # (.., 64*3)
+    x_1_1 = block("x_1_1", f[1], f2c[..., :64])
+    x_2_2 = block("x_2_2", f[2], f3c[..., :64])
+    x22c = _conv(
+        x_2_2,
+        jnp.concatenate([w1("x_1_2")[:, :, 64:128, :], w1("x_0_2")[:, :, 192:256, :]], axis=-1),
+        dtype,
+    )  # (.., 64+64)
+    x_0_1 = block("x_0_1", x_0_0, _conv(x_1_1, w1("x_0_1")[:, :, 256:320, :], dtype) + f2c[..., 64:192])
+    x_1_2 = block("x_1_2", x_1_1, x22c[..., :64] + f3c[..., 64:128])
+    x_0_2 = block(
+        "x_0_2",
+        x_0_1,
+        _conv(x_1_2, w1("x_0_2")[:, :, 128:192, :], dtype)
+        + x22c[..., 64:128]
+        + f3c[..., 128:192],
+    )
+    return block("x_0_3", x_0_2, None)
+
+
 def _up_block_parts(x: Array, skip_sum: Array | None, p: dict, s: dict, dtype) -> Array:
     """Block forward when the skip contribution to conv1 is already computed
     (possibly as a slice of a batched multi-consumer conv)."""
@@ -154,11 +214,7 @@ def _up_block_parts(x: Array, skip_sum: Array | None, p: dict, s: dict, dtype) -
     cx = x.shape[-1]
     y = up2_conv(x, w1[:, :, :cx, :], dtype)  # (N,2h,2w,F)
     if skip_sum is not None:
-        if y.shape[-3:-1] != skip_sum.shape[-3:-1]:  # pad_to_match equivalent
-            dh = skip_sum.shape[-3] - y.shape[-3]
-            dw = skip_sum.shape[-2] - y.shape[-2]
-            y = jnp.pad(y, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
-        y = y + skip_sum
+        y = _pad_to(y, skip_sum.shape) + skip_sum
     scale, bias = _bn_affine(p["conv1"]["bn"], s["conv1"]["bn"])
     y = jax.nn.relu(y * scale.astype(dtype) + bias.astype(dtype))
     return _convbn(y, p["conv2"], s["conv2"], dtype)
@@ -194,55 +250,10 @@ def fast_unetpp_apply(
     feats = encoder_apply(frames)
     f = feats[1:][::-1]  # [/16(256), /8(128), /4(64), /2(64)]
 
-    def w1(name):
-        return p[name]["conv1"]["conv"]["kernel"]
-
     def blk(name, xin, skip_sum):
         return _up_block_parts(xin, skip_sum, p[name], st[name], dtype)
 
-    # Multi-consumer skip convs are batched along Cout so each runs with full MXU
-    # lanes: f[2] feeds x_1_1 + x_0_1, f[3] feeds x_2_2 + x_1_2 + x_0_2, and x_2_2
-    # feeds x_1_2 + x_0_2. Channel slices follow the module's concat layout
-    # (conv1 input = [up(x), *skips], models/unet.py:114-121).
-    x_0_0 = blk("x_0_0", f[0], _conv(f[1], w1("x_0_0")[:, :, 256:384, :], dtype))
-    f2c = _conv(
-        f[2],
-        jnp.concatenate(
-            [w1("x_1_1")[:, :, 128:192, :], w1("x_0_1")[:, :, 320:384, :]], axis=-1
-        ),
-        dtype,
-    )  # (.., 64+128)
-    f3c = _conv(
-        f[3],
-        jnp.concatenate(
-            [
-                w1("x_2_2")[:, :, 64:128, :],
-                w1("x_1_2")[:, :, 128:192, :],
-                w1("x_0_2")[:, :, 256:320, :],
-            ],
-            axis=-1,
-        ),
-        dtype,
-    )  # (.., 64*3)
-    x_1_1 = blk("x_1_1", f[1], f2c[..., :64])
-    x_2_2 = blk("x_2_2", f[2], f3c[..., :64])
-    x22c = _conv(
-        x_2_2,
-        jnp.concatenate(
-            [w1("x_1_2")[:, :, 64:128, :], w1("x_0_2")[:, :, 192:256, :]], axis=-1
-        ),
-        dtype,
-    )  # (.., 64+64)
-    x_0_1 = blk("x_0_1", x_0_0, _conv(x_1_1, w1("x_0_1")[:, :, 256:320, :], dtype) + f2c[..., 64:192])
-    x_1_2 = blk("x_1_2", x_1_1, x22c[..., :64] + f3c[..., 64:128])
-    x_0_2 = blk(
-        "x_0_2",
-        x_0_1,
-        _conv(x_1_2, w1("x_0_2")[:, :, 128:192, :], dtype)
-        + x22c[..., 64:128]
-        + f3c[..., 128:192],
-    )
-    x_0_3 = blk("x_0_3", x_0_2, None)
+    x_0_3 = _decoder_schedule(p, f, dtype, blk)
     if x_0_3.shape[-3:-1] != (in_h, in_w):
         dh, dw = in_h - x_0_3.shape[-3], in_w - x_0_3.shape[-2]
         x_0_3 = jnp.pad(x_0_3, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
@@ -258,6 +269,66 @@ def fast_unetpp_apply(
 
     out = _conv(x_0_3, p["head"]["kernel"], dtype) + p["head"]["bias"].astype(dtype)
     return out.astype(jnp.float32)
+
+
+def _convbn_train(y: Array, p: dict, s: dict, dtype, *, relu: bool = True):
+    """Train-mode ConvBN tail (BN batch stats + running update), mirroring flax
+    BatchNorm exactly: f32 fast-variance stats, momentum 0.9, eps 1e-5
+    (models/layers.py BN_MOMENTUM/BN_EPS; torch defaults)."""
+    f = y.astype(jnp.float32)
+    mean = f.mean((0, 1, 2))
+    var = jnp.maximum(0.0, (f * f).mean((0, 1, 2)) - mean * mean)
+    out = (f - mean) * jax.lax.rsqrt(var + 1e-5) * p["bn"]["scale"] + p["bn"]["bias"]
+    out = out.astype(dtype)
+    if relu:
+        out = jax.nn.relu(out)
+    m = 0.9
+    new_stats = {
+        "bn": {
+            "mean": m * s["bn"]["mean"] + (1 - m) * mean,
+            "var": m * s["bn"]["var"] + (1 - m) * var,
+        }
+    }
+    return out, new_stats
+
+
+def fast_unetpp_train_apply(variables: dict, frames: Array, *, encoder_module, dtype=jnp.bfloat16):
+    """Fused TRAIN forward of UNetPlusPlus: same conv rewrites as the eval path
+    (up2_conv folding, batched multi-consumer skip convs) with flax-exact BN batch
+    statistics. Returns ``(out, {"batch_stats": updated})`` like
+    ``module.apply(..., train=True, mutable=["batch_stats"])``.
+
+    The rewrites are exact weight re-binnings, so conv outputs — and therefore the
+    BN statistics computed from them — match the module to float tolerance, and
+    gradients flow through the (linear) kernel transforms to the original params.
+    """
+    p, st = variables["params"], variables["batch_stats"]
+    in_h, in_w = frames.shape[-3], frames.shape[-2]
+    enc_vars = {"params": p["encoder"], "batch_stats": st["encoder"]}
+    feats, enc_mut = encoder_module.apply(
+        enc_vars, frames, train=True, mutable=["batch_stats"]
+    )
+    new_stats: dict = {"encoder": enc_mut["batch_stats"]}
+    f = feats[1:][::-1]
+
+    def blk(name, xin, skip_sum):
+        ww = p[name]["conv1"]["conv"]["kernel"]
+        cx = xin.shape[-1]
+        y = up2_conv(xin, ww[:, :, :cx, :], dtype)
+        if skip_sum is not None:
+            y = _pad_to(y, skip_sum.shape) + skip_sum
+        y, s1 = _convbn_train(y, p[name]["conv1"], st[name]["conv1"], dtype)
+        y = _conv(y, p[name]["conv2"]["conv"]["kernel"], dtype)
+        y, s2 = _convbn_train(y, p[name]["conv2"], st[name]["conv2"], dtype)
+        new_stats[name] = {"conv1": s1, "conv2": s2}
+        return y
+
+    x_0_3 = _decoder_schedule(p, f, dtype, blk)
+    if x_0_3.shape[-3:-1] != (in_h, in_w):
+        dh, dw = in_h - x_0_3.shape[-3], in_w - x_0_3.shape[-2]
+        x_0_3 = jnp.pad(x_0_3, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
+    out = _conv(x_0_3, p["head"]["kernel"], dtype) + p["head"]["bias"].astype(dtype)
+    return out.astype(jnp.float32), {"batch_stats": new_stats}
 
 
 def make_fast_fa_apply(fa_model, fa_vars):
@@ -286,14 +357,15 @@ def make_fast_fa_apply(fa_model, fa_vars):
 
     dtype = fa_model.dtype
 
+    from ted_spad_tpu.models.resnet2d import ResNet2D
+
+    enc = ResNet2D(block="basic", layers=(2, 2, 2, 2), depth=4, dtype=dtype)
+
     def encoder_apply_from(variables):
         enc_vars = {
             "params": variables["params"]["encoder"],
             "batch_stats": variables["batch_stats"]["encoder"],
         }
-        from ted_spad_tpu.models.resnet2d import ResNet2D
-
-        enc = ResNet2D(block="basic", layers=(2, 2, 2, 2), depth=4, dtype=dtype)
         return lambda x: enc.apply(enc_vars, x, train=False)
 
     def apply(variables, frames, train=False, emit_s2d=False, **kw):
@@ -305,12 +377,18 @@ def make_fast_fa_apply(fa_model, fa_vars):
                 out = space_to_depth_2x2(out.astype(dtype))
             return out
 
-        if train:
-            return fallback(True)
         # Fused path needs even spatial dims at every level (d2s alignment).
         h, w = frames.shape[-3], frames.shape[-2]
         if h % 16 or w % 16:
-            return fallback(False)
+            return fallback(train)
+        if train:
+            # Fast train path only for the standard mutable-batch-stats call
+            # (the anonymizer/recon trainers' shape, stages/*):
+            if not emit_s2d and set(kw) == {"mutable"} and list(kw["mutable"]) == ["batch_stats"]:
+                return fast_unetpp_train_apply(
+                    variables, frames, encoder_module=enc, dtype=dtype
+                )
+            return fallback(True)
         return fast_unetpp_apply(
             variables, frames, encoder_apply=encoder_apply_from(variables), dtype=dtype,
             emit_s2d=emit_s2d,

@@ -61,18 +61,23 @@ def _anon_frames(fa_model, fa_vars, video, train: bool, rng=None, remat: bool = 
     reference scale (8 videos x 3 views x 16 frames at 224², params_anonymization.py) the
     un-checkpointed backward exceeds a v5e chip's 16GB HBM; remat trades ~1 extra forward
     for sub-linear activation memory (the AMP-era GPU memory trick's TPU counterpart)."""
+    from ted_spad_tpu.ops.fast_unetpp import make_fast_fa_apply
+
     lead = video.shape[:-3]
     frames = video.reshape((-1,) + video.shape[-3:])
     kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
+    # Fused decoder forms (exact weight re-binnings) in train AND eval; the fast
+    # apply falls back to the module for non-standard calls (rngs, odd sizes).
+    fast = make_fast_fa_apply(fa_model, fa_vars)
     if train:
         def apply_fn(variables, x):
-            return fa_model.apply(variables, x, train=True, mutable=["batch_stats"], **kwargs)
+            return fast(variables, x, train=True, mutable=["batch_stats"], **kwargs)
 
         if remat:
             apply_fn = jax.checkpoint(apply_fn)
         out, mutated = apply_fn(fa_vars, frames)
         return out.reshape(lead + out.shape[-3:]), mutated
-    apply_fn = lambda variables, x: fa_model.apply(variables, x, train=False)
+    apply_fn = lambda variables, x: fast(variables, x, train=False)
     if remat:
         apply_fn = jax.checkpoint(apply_fn)
     out = apply_fn(fa_vars, frames)

@@ -33,12 +33,15 @@ def make_train_step(model, optimizer, out_hw: tuple[int, int]) -> Callable:
 
     @jax.jit
     def train_step(variables, opt_state, images_u8, aug_params):
+        from ted_spad_tpu.ops.fast_unetpp import make_fast_fa_apply
+
+        fast = make_fast_fa_apply(model, variables)  # fused decoder; module fallback
         # (B, S, S, 3) uint8 -> augmented f32 [0,1] on device, fused with the model fwd.
         aug = augment_batch(images_u8[:, None], aug_params, out_h, out_w)[:, 0]
 
         def loss_fn(params):
             vars_in = {**variables, "params": params}
-            recon, mutated = model.apply(vars_in, aug, train=True, mutable=["batch_stats"])
+            recon, mutated = fast(vars_in, aug, train=True, mutable=["batch_stats"])
             return l1_loss(recon, aug), mutated
 
         (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
