@@ -96,8 +96,13 @@ def _ft_losses(ft_model, ft_vars, anon_clips, labels, p: AnonymizationParams, tr
 
         (logits, emb), mutated = jax.checkpoint(apply_fn)(ft_vars, flat)
     else:
+        from ted_spad_tpu.ops.fast_i3d import make_fast_ft_forward
+
+        # Frozen ft: eval-mode forward with the s2d fast stem (gradients still flow
+        # through the anonymized clips to fa — the stem re-binning is exact).
+        ft_forward = make_fast_ft_forward(ft_model)
         logits, emb = jax.checkpoint(
-            lambda variables, x: ft_model.apply(variables, x, train=False)
+            lambda variables, x: ft_forward(variables, x, train=False)
         )(ft_vars, flat)
         mutated = None
     logits = logits.reshape(b, v, -1)

@@ -57,8 +57,10 @@ def make_eval_step(model, out_hw: tuple[int, int]) -> Callable:
 
     @jax.jit
     def eval_step(variables, images_u8):
+        from ted_spad_tpu.ops.fast_unetpp import make_fast_fa_apply
+
         img = center_crop_resize(images_u8[:, None], 1.0, out_h, out_w, no_ar_distortion=True)[:, 0]
-        recon = model.apply(variables, img, train=False)
+        recon = make_fast_fa_apply(model, variables)(variables, img, train=False)
         return l1_loss(recon, img), recon, img
 
     return eval_step
