@@ -68,3 +68,35 @@ def test_extraction_e2e_feeds_mgfn(tmp_path):
     # Resume semantics: re-running skips everything (dali_extraction.py:121).
     res2 = extract_features(p, uris, str(tmp_path / "feats"), decode_hw=(48, 64), log_fn=lambda s: None)
     assert res2["clips"] == 0
+
+
+def test_fast_paths_match_module_extraction():
+    """The extract step's fused fa + s2d stem + bridge must produce the same features
+    as the plain module composition (dali_extraction.py:168-179 semantics)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ted_spad_tpu.config.params import FeatureExtractionParams
+    from ted_spad_tpu.models import load_fa_model, load_ft_model
+    from ted_spad_tpu.ops.augment import center_crop_resize
+    from ted_spad_tpu.stages.feature_extraction import make_extract_step
+
+    fa_model, fa_vars = load_fa_model(image_size=(48, 64), dtype="float32")
+    ft_model, ft_vars = load_ft_model(
+        "largei3d", num_classes=5, clip_shape=(4, 48, 64), dtype="float32"
+    )
+    p = FeatureExtractionParams(
+        num_frames=4, reso_h=48, reso_w=64, compute_dtype="float32"
+    )
+    extract = make_extract_step(ft_model, p, fa=(fa_model, fa_vars))
+
+    rng = np.random.default_rng(3)
+    clips = jnp.asarray(rng.integers(0, 255, (2, 4, 60, 80, 3), dtype=np.uint8))
+    got = extract(ft_vars, clips)
+
+    img = center_crop_resize(clips.astype(jnp.float32) / 255.0, p.cropping_factor, 48, 64)
+    frames = img.reshape((-1,) + img.shape[-3:])
+    anon = fa_model.apply(fa_vars, frames, train=False)
+    anon = anon.reshape(img.shape[:-3] + anon.shape[-3:])
+    ref = ft_model.apply(ft_vars, anon, train=False, method="extract_features")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
