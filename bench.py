@@ -145,6 +145,25 @@ def main() -> None:
             detail["e2e_clips_per_sec"] = round(res["clips"] / max(e2e_s, 1e-9), 3)
             detail["e2e_clips"] = res["clips"]
 
+            # Planar YUV420 ingest: half the host->device bytes (the tunnel/PCIe
+            # bound), color conversion fused on-device (ops/yuv.py). Warm the yuv
+            # program on one video first so its jit compile stays out of the timing
+            # (the rgb program was warmed by the device benchmark above).
+            extract_features(
+                p, uris[:1], os.path.join(tmp, "feats_yuv_warm"), fa_variables=fa_vars,
+                ft_variables=ft_vars, batch_size=batch, decode_mode="yuv",
+                log_fn=lambda *_: None,
+            )
+            t0 = time.perf_counter()
+            res_yuv = extract_features(
+                p, uris, os.path.join(tmp, "feats_yuv"), fa_variables=fa_vars,
+                ft_variables=ft_vars, batch_size=batch, decode_mode="yuv",
+                log_fn=lambda *_: None,
+            )
+            detail["e2e_yuv_clips_per_sec"] = round(
+                res_yuv["clips"] / max(time.perf_counter() - t0, 1e-9), 3
+            )
+
             # Decode-only rate (host C++ threads, no device work).
             from ted_spad_tpu.stages.feature_extraction import iter_clip_batches
 

@@ -33,6 +33,7 @@ struct Decoder {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* codec = nullptr;
   SwsContext* sws = nullptr;
+  SwsContext* sws_yuv = nullptr;  // lazy: non-yuv420p sources -> planar yuv420p
   AVFrame* frame = nullptr;
   AVFrame* rgb = nullptr;
   AVPacket* pkt = nullptr;
@@ -44,6 +45,7 @@ struct Decoder {
   std::string error;
 
   ~Decoder() {
+    if (sws_yuv) sws_freeContext(sws_yuv);
     if (sws) sws_freeContext(sws);
     if (rgb) av_frame_free(&rgb);
     if (frame) av_frame_free(&frame);
@@ -106,6 +108,31 @@ int to_rgb(Decoder* dec, uint8_t* out) {
   return 0;
 }
 
+// Copy dec->frame as planar yuv420p at NATIVE resolution into caller buffers
+// (y: H*W, u/v: (H/2)*(W/2)). Zero-copy row memcpy for yuv420p sources (the normal
+// h264/mpeg4 case — skips the swscale->RGB pass entirely, the "planar decode"
+// ingest mode); anything else converts via a lazy swscale context.
+int to_yuv420(Decoder* dec, uint8_t* y, uint8_t* u, uint8_t* v) {
+  AVFrame* f = dec->frame;
+  const int W = dec->codec->width, H = dec->codec->height;
+  const int cw = W / 2, ch = H / 2;
+  if (f->format == AV_PIX_FMT_YUV420P || f->format == AV_PIX_FMT_YUVJ420P) {
+    for (int r = 0; r < H; ++r) memcpy(y + static_cast<int64_t>(r) * W, f->data[0] + static_cast<int64_t>(r) * f->linesize[0], W);
+    for (int r = 0; r < ch; ++r) memcpy(u + static_cast<int64_t>(r) * cw, f->data[1] + static_cast<int64_t>(r) * f->linesize[1], cw);
+    for (int r = 0; r < ch; ++r) memcpy(v + static_cast<int64_t>(r) * cw, f->data[2] + static_cast<int64_t>(r) * f->linesize[2], cw);
+    return 0;
+  }
+  if (!dec->sws_yuv) {
+    dec->sws_yuv = sws_getContext(W, H, static_cast<AVPixelFormat>(f->format), W, H,
+                                  AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr, nullptr);
+    if (!dec->sws_yuv) return -1;
+  }
+  uint8_t* dst[4] = {y, u, v, nullptr};
+  int ls[4] = {W, cw, cw, 0};
+  sws_scale(dec->sws_yuv, f->data, f->linesize, 0, H, dst, ls);
+  return 0;
+}
+
 // Seek so that the decoder's next emitted frame index is <= target. Conservative:
 // seek to the keyframe at/before the target timestamp, reset counters by decoding
 // with frame-accurate skip.
@@ -157,6 +184,34 @@ int seek_to(Decoder* dec, int64_t target) {
     back_s = back_s == 0.0 ? 1.0 : back_s * 4.0;
   }
   return rewind_to_start(dec);
+}
+
+// Walk sorted `indices`, invoking sink(slot) with dec->frame holding each target.
+// decord get_batch semantics: skips forward within one decode pass, seeks when the gap
+// is large or backwards. Returns number of frames delivered (may be < n at EOF).
+template <typename Sink>
+int64_t gather_indices(Decoder* dec, const int64_t* indices, int64_t n, Sink&& sink) {
+  int64_t written = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t target = indices[i];
+    if (target < dec->next_frame - 1 || target > dec->next_frame + 256) {
+      if (seek_to(dec, target) <= 0) break;
+    }
+    // dec->frame currently holds frame (next_frame - 1) after seek; otherwise decode on.
+    bool have = dec->next_frame - 1 >= 0 &&
+                dec->next_frame - 1 == target &&
+                dec->frame->data[0] != nullptr;
+    int ret = 1;
+    while (!have) {
+      ret = decode_next(dec);
+      if (ret <= 0) break;
+      have = dec->next_frame - 1 == target;
+    }
+    if (ret <= 0 && !have) break;
+    sink(written);
+    written++;
+  }
+  return written;
 }
 
 }  // namespace
@@ -228,32 +283,11 @@ int vd_width(void* h) { return static_cast<Decoder*>(h)->out_w; }
 int vd_height(void* h) { return static_cast<Decoder*>(h)->out_h; }
 
 // Gather frames at sorted `indices` (n of them) into out (n, out_h, out_w, 3) uint8.
-// decord get_batch semantics: skips forward within one decode pass, seeks when the gap
-// is large or backwards. Returns number of frames written (may be < n at EOF).
 int64_t vd_read_indices(void* h, const int64_t* indices, int64_t n, uint8_t* out) {
   auto dec = static_cast<Decoder*>(h);
   const int64_t frame_bytes = static_cast<int64_t>(dec->out_w) * dec->out_h * 3;
-  int64_t written = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    const int64_t target = indices[i];
-    if (target < dec->next_frame - 1 || target > dec->next_frame + 256) {
-      if (seek_to(dec, target) <= 0) break;
-    }
-    // dec->frame currently holds frame (next_frame - 1) after seek; otherwise decode on.
-    bool have = dec->next_frame - 1 >= 0 &&
-                dec->next_frame - 1 == target &&
-                dec->frame->data[0] != nullptr;
-    int ret = 1;
-    while (!have) {
-      ret = decode_next(dec);
-      if (ret <= 0) break;
-      have = dec->next_frame - 1 == target;
-    }
-    if (ret <= 0 && !have) break;
-    to_rgb(dec, out + written * frame_bytes);
-    written++;
-  }
-  return written;
+  return gather_indices(dec, indices, n,
+                        [&](int64_t slot) { to_rgb(dec, out + slot * frame_bytes); });
 }
 
 // Sequential strided read: frames start, start+stride, ... (n frames) into out.
@@ -262,6 +296,41 @@ int64_t vd_read_strided(void* h, int64_t start, int64_t n, int64_t stride, uint8
   std::vector<int64_t> idx(n);
   for (int64_t i = 0; i < n; ++i) idx[i] = start + i * stride;
   return vd_read_indices(h, idx.data(), n, out);
+}
+
+// Native resolution of the coded stream (YUV reads ignore the out_w/out_h scaler).
+int vd_native_width(void* h) { return static_cast<Decoder*>(h)->codec->width; }
+int vd_native_height(void* h) { return static_cast<Decoder*>(h)->codec->height; }
+
+// 1 if the stream is full-range (yuvj/pc range), else 0 (limited/studio range —
+// the untagged default swscale also assumes for BT.601 conversion).
+int vd_full_range(void* h) {
+  auto dec = static_cast<Decoder*>(h);
+  return (dec->codec->color_range == AVCOL_RANGE_JPEG ||
+          dec->codec->pix_fmt == AV_PIX_FMT_YUVJ420P)
+             ? 1
+             : 0;
+}
+
+// Planar gather: frames at sorted indices into y (n,H,W), u/v (n,H/2,W/2) uint8 at
+// NATIVE resolution — the TPU ingest mode: 1.5 bytes/px host->device instead of 3,
+// chroma upsampling + BT.601 color conversion fused into the device preprocess
+// (ops/yuv.py). DALI's GPU-side decode equivalent (dali_extraction.py:53-81).
+int64_t vd_read_indices_yuv(void* h, const int64_t* indices, int64_t n, uint8_t* out_y,
+                            uint8_t* out_u, uint8_t* out_v) {
+  auto dec = static_cast<Decoder*>(h);
+  const int64_t yb = static_cast<int64_t>(dec->codec->width) * dec->codec->height;
+  const int64_t cb = yb / 4;
+  return gather_indices(dec, indices, n, [&](int64_t slot) {
+    to_yuv420(dec, out_y + slot * yb, out_u + slot * cb, out_v + slot * cb);
+  });
+}
+
+int64_t vd_read_strided_yuv(void* h, int64_t start, int64_t n, int64_t stride,
+                            uint8_t* out_y, uint8_t* out_u, uint8_t* out_v) {
+  std::vector<int64_t> idx(n);
+  for (int64_t i = 0; i < n; ++i) idx[i] = start + i * stride;
+  return vd_read_indices_yuv(h, idx.data(), n, out_y, out_u, out_v);
 }
 
 }  // extern "C"

@@ -24,6 +24,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--shard_id", type=int, default=0)
     ap.add_argument("--num_shards", type=int, default=1)
+    ap.add_argument("--decode_mode", type=str, default="rgb", choices=["rgb", "yuv"],
+                    help="'yuv': planar ingest — half the host->device bytes, "
+                         "chroma upsample + BT.601 fused into the device preprocess")
     args = ap.parse_args()
     setup_platform(args)
 
@@ -39,8 +42,10 @@ def main() -> None:
     p = p.replace(**overrides)
     if args.synthetic:
         p = p.replace(num_frames=8, reso_h=32, reso_w=32, compute_dtype="float32")
-        uris = [f"synthetic://n=120,h=48,w=64,seed={i}" for i in range(4)]
-        decode_hw = (48, 64)
+        # 40x80 @ crop 0.8 -> (32, 64) at even offsets: valid for both decode modes
+        # (yuv needs a chroma-aligned crop window).
+        uris = [f"synthetic://n=120,h=40,w=80,seed={i}" for i in range(4)]
+        decode_hw = (40, 80)
     else:
         import glob as _glob
 
@@ -51,6 +56,7 @@ def main() -> None:
     res = extract_features(
         p, uris, args.out_dir, batch_size=args.batch, decode_hw=decode_hw,
         shard_id=args.shard_id, num_shards=args.num_shards, mesh=maybe_mesh(args),
+        decode_mode=args.decode_mode,
     )
     print(f"done; {res['clips']} clips @ {res['clips_per_sec']:.2f} clips/s")
 

@@ -60,6 +60,22 @@ def _load_library():
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.vd_last_error.restype = ctypes.c_char_p
+        lib.vd_native_width.restype = ctypes.c_int
+        lib.vd_native_width.argtypes = [ctypes.c_void_p]
+        lib.vd_native_height.restype = ctypes.c_int
+        lib.vd_native_height.argtypes = [ctypes.c_void_p]
+        lib.vd_full_range.restype = ctypes.c_int
+        lib.vd_full_range.argtypes = [ctypes.c_void_p]
+        lib.vd_read_strided_yuv.restype = ctypes.c_int64
+        lib.vd_read_strided_yuv.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.ve_open.restype = ctypes.c_void_p
         lib.ve_open.argtypes = [
             ctypes.c_char_p,
@@ -123,6 +139,30 @@ class VideoReader:
             else:
                 out[n:] = out[n - 1]
         return out
+
+    def read_strided_yuv(self, start: int, n: int, stride: int):
+        """Planar ingest read: ``(y (n,H,W), u (n,H/2,W/2), v (n,H/2,W/2), full_range)``
+        at NATIVE resolution — 1.5 bytes/px instead of RGB24's 3, no host-side color
+        conversion; chroma upsample + BT.601 happen in the device preprocess
+        (ops/yuv.py). EOF short-reads pad with the last frame like ``read_strided``."""
+        nh = self._lib.vd_native_height(self._h)
+        nw = self._lib.vd_native_width(self._h)
+        y = np.empty((n, nh, nw), np.uint8)
+        u = np.empty((n, nh // 2, nw // 2), np.uint8)
+        v = np.empty((n, nh // 2, nw // 2), np.uint8)
+        got = self._lib.vd_read_strided_yuv(
+            self._h, start, n, stride,
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if got < n:
+            for p in (y, u, v):
+                if got == 0:
+                    p[:] = 0
+                else:
+                    p[got:] = p[got - 1]
+        return y, u, v, bool(self._lib.vd_full_range(self._h))
 
     def read_strided(self, start: int, n: int, stride: int) -> np.ndarray:
         """DALI-style sequence read: n frames at ``start + i*stride`` (dali_extraction.py:72)."""
@@ -192,6 +232,23 @@ class SyntheticVideoReader:
 
     def read_strided(self, start: int, n: int, stride: int) -> np.ndarray:
         return self.get_batch([min(start + i * stride, self._n - 1) for i in range(n)])
+
+    def read_strided_yuv(self, start: int, n: int, stride: int):
+        """Planar-mode emulation: BT.601 limited-range encode of the RGB frames with
+        2x2 box-averaged chroma — lets the YUV ingest pipeline run in CPU tests."""
+        rgb = self.read_strided(start, n, stride).astype(np.float32)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 16.0 + (65.481 * r + 128.553 * g + 24.966 * b) / 255.0
+        u = 128.0 + (-37.797 * r - 74.203 * g + 112.0 * b) / 255.0
+        v = 128.0 + (112.0 * r - 93.786 * g - 18.214 * b) / 255.0
+
+        def sub(p):
+            h2, w2 = p.shape[-2] // 2, p.shape[-1] // 2
+            p = p[..., : h2 * 2, : w2 * 2].reshape(p.shape[0], h2, 2, w2, 2)
+            return p.mean((2, 4))
+
+        to_u8 = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)
+        return to_u8(y), to_u8(sub(u)), to_u8(sub(v)), False
 
     def close(self):
         pass

@@ -59,8 +59,15 @@ def iter_clip_batches(
     *,
     decode_hw: tuple[int, int] = (240, 320),
     num_workers: int = 8,
-) -> Iterator[tuple[np.ndarray, list[ClipRef], dict[int, int]]]:
-    """Stream (batch_size, T, H, W, 3) uint8 clip batches packed across videos.
+    decode_mode: str = "rgb",
+) -> Iterator[tuple[Any, list[ClipRef], dict[int, int]]]:
+    """Stream clip batches packed across videos.
+
+    ``decode_mode="rgb"``: batches are (batch_size, T, H, W, 3) uint8.
+    ``decode_mode="yuv"``: batches are (y, u, v) planar uint8 tuples at native
+    resolution (y (B,T,H,W); u/v half-res) — 1.5 bytes/px of host->device traffic and
+    no host-side color conversion (the planar ingest mode; ops/yuv.py). Full-range
+    (yuvj) sources are rejected — use rgb mode for those.
 
     Yields (clips, refs, clip_counts) where refs map batch rows to (video, clip) and
     clip_counts gives each video's total clips (known once its decode finishes). The last
@@ -76,7 +83,15 @@ def iter_clip_batches(
         starts = video_clip_starts(len(vr), p.num_frames, p.clip_stride, p.clip_step)
         clips = []
         for ci, s in enumerate(starts):
-            clips.append((ClipRef(vi, ci), vr.read_strided(s, p.num_frames, p.clip_stride)))
+            if decode_mode == "yuv":
+                y, u, v, full = vr.read_strided_yuv(s, p.num_frames, p.clip_stride)
+                if full:
+                    raise RuntimeError(
+                        f"{uri}: full-range (yuvj) source — use decode_mode='rgb'"
+                    )
+                clips.append((ClipRef(vi, ci), (y, u, v)))
+            else:
+                clips.append((ClipRef(vi, ci), vr.read_strided(s, p.num_frames, p.clip_stride)))
         vr.close()
         return vi, clips
 
@@ -92,7 +107,12 @@ def iter_clip_batches(
         futures.add(pool.submit(decode_video, next_submit))
         next_submit += 1
 
-    buf_clips: list[np.ndarray] = []
+    def stack(batch):
+        if decode_mode == "yuv":
+            return tuple(np.stack([c[k] for c in batch]) for k in range(3))
+        return np.stack(batch)
+
+    buf_clips: list[Any] = []
     buf_refs: list[ClipRef] = []
     while futures:
         done, futures = wait(futures, return_when=FIRST_COMPLETED)
@@ -103,7 +123,7 @@ def iter_clip_batches(
                 buf_refs.append(ref)
                 buf_clips.append(clip)
                 if len(buf_clips) == batch_size:
-                    yield np.stack(buf_clips), list(buf_refs), dict(clip_counts)
+                    yield stack(buf_clips), list(buf_refs), dict(clip_counts)
                     buf_clips, buf_refs = [], []
             if next_submit < len(video_uris):
                 futures.add(pool.submit(decode_video, next_submit))
@@ -112,16 +132,20 @@ def iter_clip_batches(
         refs = list(buf_refs)
         while len(buf_clips) < batch_size:
             buf_clips.append(buf_clips[-1])
-        yield np.stack(buf_clips), refs, dict(clip_counts)
+        yield stack(buf_clips), refs, dict(clip_counts)
 
 
 def make_extract_step(
-    ft_model, p: FeatureExtractionParams, fa=None, use_pallas: bool | None = None, mesh=None
+    ft_model, p: FeatureExtractionParams, fa=None, use_pallas: bool | None = None, mesh=None,
+    yuv: bool = False,
 ) -> Callable:
     """One fused program: /255 + center-crop + resize + (frozen fa) + ft features.
 
     ``use_pallas`` selects the Pallas matmul-resample preprocessing kernel
     (ops/pallas_preprocess.py) — default on TPU backends, XLA path elsewhere.
+    ``yuv``: the step takes planar ``(y, u, v)`` uint8 batches (decode_mode='yuv') and
+    fuses chroma upsample + BT.601 into the preprocess (ops/yuv.py) — half the
+    host->device bytes of RGB24.
     ``mesh``: a 1-D ``jax.sharding.Mesh`` to shard the clip batch over local chips
     (params replicated) — the DataParallel replacement (dali_extraction.py:128-133)."""
     if use_pallas is None:
@@ -132,14 +156,24 @@ def make_extract_step(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         axis = mesh.axis_names[0]
+        batch_sh = NamedSharding(mesh, P(axis))
+        in_batch = (batch_sh,) * 3 if yuv else (batch_sh,)
         shardings = dict(
-            in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P(axis))),
-            out_shardings=NamedSharding(mesh, P(axis)),
+            in_shardings=(NamedSharding(mesh, P()), *in_batch),
+            out_shardings=batch_sh,
         )
 
     @functools.partial(jax.jit, **shardings)
-    def extract(ft_vars, clips_u8):
-        if use_pallas and not p.no_ar_distortion:
+    def extract(ft_vars, clips_u8, u_u8=None, v_u8=None):
+        if yuv:
+            from ted_spad_tpu.ops.yuv import fused_preprocess_yuv
+
+            img = fused_preprocess_yuv(
+                clips_u8, u_u8, v_u8, out_h=p.reso_h, out_w=p.reso_w,
+                cropping_factor=p.cropping_factor,
+                out_dtype=jnp.dtype(p.compute_dtype),
+            ).astype(jnp.float32)
+        elif use_pallas and not p.no_ar_distortion:
             from ted_spad_tpu.ops.pallas_preprocess import fused_preprocess
 
             img = fused_preprocess(
@@ -196,12 +230,17 @@ def extract_features(
     shard_id: int = 0,
     num_shards: int = 1,
     mesh=None,
+    decode_mode: str = "rgb",
     log_fn: Callable[[str], None] = print,
 ) -> dict[str, Any]:
     """Stage driver. Returns {video_uri: saved_path} plus throughput stats.
 
+    ``decode_mode='yuv'``: planar ingest — host ships YUV420 planes (1.5 bytes/px) and
+    the device preprocess does chroma upsample + BT.601 (ops/yuv.py).
     Sharding: shard ``video_uris`` round-robin per process (DALI num_shards/shard_id
     equivalent, dali_extraction.py:63-64). Resume: existing ``.npy`` skipped (:121)."""
+    if decode_mode == "yuv" and p.no_ar_distortion:
+        raise ValueError("decode_mode='yuv' does not support no_ar_distortion; use 'rgb'")
     os.makedirs(save_dir, exist_ok=True)
     uris = [u for i, u in enumerate(video_uris) if i % num_shards == shard_id]
 
@@ -229,7 +268,7 @@ def extract_features(
     )
     if ft_variables is not None:
         ft_vars = ft_variables
-    extract = make_extract_step(ft_model, p, fa, mesh=mesh)
+    extract = make_extract_step(ft_model, p, fa, mesh=mesh, yuv=decode_mode == "yuv")
 
     bs = batch_size or max(p.batch_size, 1)
     acc: dict[int, dict[int, np.ndarray]] = {}
@@ -255,12 +294,15 @@ def extract_features(
                 del acc[vi]
 
     for clips, refs, clip_counts in iter_clip_batches(
-        uris, p, bs, decode_hw=decode_hw
+        uris, p, bs, decode_hw=decode_hw, decode_mode=decode_mode
     ):
         counts.update(clip_counts)
         # Async dispatch: enqueue this batch, then drain the previous one while the
         # device works (double buffering through the JAX dispatch queue).
-        feats = extract(ft_vars, jnp.asarray(clips))
+        if decode_mode == "yuv":
+            feats = extract(ft_vars, *(jnp.asarray(c) for c in clips))
+        else:
+            feats = extract(ft_vars, jnp.asarray(clips))
         inflight.append((feats, refs))
         if len(inflight) > 1:
             drain(inflight.pop(0))

@@ -1,0 +1,138 @@
+"""Planar YUV420 ingest tests (native/videodec yuv reads + ops/yuv.py device preprocess).
+
+Reference semantics: the val transform (/255, center-crop 0.8, resize) applied to the
+decoded RGB frames (dali_extraction.py:38-50). The planar mode moves the color
+conversion device-side; these tests pin it to the RGB path within chroma-subsampling
+tolerance and to an exact numpy oracle of its own definition."""
+
+import numpy as np
+import pytest
+
+from ted_spad_tpu.data.video_reader import SyntheticVideoReader, native_available, open_video, write_mp4
+from ted_spad_tpu.ops.augment import center_crop_resize
+from ted_spad_tpu.ops.pallas_preprocess import resize_matrix
+from ted_spad_tpu.ops.yuv import fused_preprocess_yuv
+
+
+def _numpy_oracle(y, u, v, out_h, out_w, cf, full_range=False):
+    h, w = y.shape[-2:]
+    ch, cw = int(h * cf), int(w * cf)
+    y0, x0 = int(round((h - ch) / 2)), int(round((w - cw) / 2))
+    ry = resize_matrix(h, out_h, y0, ch)
+    rxt = resize_matrix(w, out_w, x0, cw).T
+    cry = resize_matrix(h // 2, out_h, y0 // 2, ch // 2)
+    crxt = resize_matrix(w // 2, out_w, x0 // 2, cw // 2).T
+
+    rs = lambda p, a, bt: np.einsum("oh,...hw,wx->...ox", a, p.astype(np.float32), bt)
+    yf = rs(y, ry, rxt)
+    uf = rs(u, cry, crxt) - 128.0
+    vf = rs(v, cry, crxt) - 128.0
+    if full_range:
+        yy, rv, gu, gv, bu = yf, 1.402, -0.344136, -0.714136, 1.772
+    else:
+        yy, rv, gu, gv, bu = 1.164383 * (yf - 16.0), 1.596027, -0.391762, -0.812968, 2.017232
+    rgb = np.stack([yy + rv * vf, yy + gu * uf + gv * vf, yy + bu * uf], -1) / 255.0
+    return np.clip(rgb, 0, 1)
+
+
+def test_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    y = rng.integers(16, 236, (2, 3, 48, 64), np.uint8)
+    u = rng.integers(16, 241, (2, 3, 24, 32), np.uint8)
+    v = rng.integers(16, 241, (2, 3, 24, 32), np.uint8)
+    got = np.asarray(
+        fused_preprocess_yuv(y, u, v, out_h=32, out_w=40, cropping_factor=0.75,
+                             out_dtype=np.float32)
+    )
+    # cf=0.75 of 48x64 -> 36x48 crop, offsets (6,8): even -> chroma-aligned.
+    ref = _numpy_oracle(y, u, v, 32, 40, 0.75)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_gray_content_matches_rgb_path():
+    """With constant chroma the subsampling is lossless, so the YUV path must equal
+    the RGB val-transform path to float tolerance."""
+    rng = np.random.default_rng(1)
+    y = rng.integers(16, 236, (1, 2, 48, 64), np.uint8)
+    u = np.full((1, 2, 24, 32), 128, np.uint8)
+    v = np.full((1, 2, 24, 32), 128, np.uint8)
+    rgb = np.clip(1.164383 * (y.astype(np.float32) - 16.0), 0, 255)
+    rgb = np.repeat(rgb[..., None], 3, -1)
+    ref = np.asarray(center_crop_resize(rgb / 255.0, 0.75, 32, 40))
+    got = np.asarray(
+        fused_preprocess_yuv(y, u, v, out_h=32, out_w=40, cropping_factor=0.75,
+                             out_dtype=np.float32)
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_synthetic_reader_yuv_close_to_rgb():
+    vr = SyntheticVideoReader(num_frames=12, height=48, width=64, seed=2003)
+    rgb = vr.read_strided(0, 4, 2).astype(np.float32) / 255.0
+    y, u, v, full = vr.read_strided_yuv(0, 4, 2)
+    assert not full
+    ref = np.asarray(center_crop_resize(rgb[None], 0.75, 32, 40))[0]
+    got = np.asarray(
+        fused_preprocess_yuv(y[None], u[None], v[None], out_h=32, out_w=40,
+                             cropping_factor=0.75, out_dtype=np.float32)
+    )[0]
+    d = np.abs(got - ref)
+    # The synthetic frames are mod-256 sawtooth stripes — their wrap edges are a
+    # chroma-subsampling worst case, so bounds are looser than for natural content.
+    assert d.mean() < 0.04 and d.max() < 0.6, (d.mean(), d.max())
+
+
+def test_misaligned_crop_rejected():
+    y = np.zeros((1, 1, 50, 64), np.uint8)  # cf .8 of 50 -> 40 crop, offset 5 (odd)
+    u = np.zeros((1, 1, 25, 32), np.uint8)
+    v = np.zeros((1, 1, 25, 32), np.uint8)
+    with pytest.raises(ValueError):
+        fused_preprocess_yuv(y, u, v, out_h=32, out_w=40, cropping_factor=0.8,
+                             out_dtype=np.float32)
+
+
+@pytest.mark.skipif(not native_available(), reason="native videodec unavailable")
+def test_native_yuv_read_close_to_rgb_path(tmp_path):
+    yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
+    t = np.arange(24, dtype=np.float32)[:, None, None]
+    plane = 127.5 + 60 * np.sin(xx / 9 + t / 5) + 50 * np.cos(yy / 7 - t / 9)
+    frames = np.stack(
+        [np.clip(plane, 0, 255), np.clip(plane * 0.5 + 30, 0, 255), np.clip(255 - plane, 0, 255)],
+        -1,
+    ).astype(np.uint8)
+    path = str(tmp_path / "v.mp4")
+    write_mp4(path, frames, fps=25.0)
+    vr = open_video(path)
+    rgb = vr.read_strided(0, 4, 2).astype(np.float32) / 255.0
+    y, u, v, full = vr.read_strided_yuv(0, 4, 2)
+    assert not full
+    ref = np.asarray(center_crop_resize(rgb[None], 0.75, 32, 40))[0]
+    got = np.asarray(
+        fused_preprocess_yuv(y[None], u[None], v[None], out_h=32, out_w=40,
+                             cropping_factor=0.75, out_dtype=np.float32)
+    )[0]
+    d = np.abs(got - ref)
+    assert d.mean() < 0.02 and d.max() < 0.3, (d.mean(), d.max())
+
+
+def test_extract_features_yuv_mode(tmp_path):
+    """decode_mode='yuv' produces features close to the rgb mode end-to-end."""
+    from ted_spad_tpu.config.params import FeatureExtractionParams
+    from ted_spad_tpu.stages.feature_extraction import extract_features
+
+    # 40x80 @ cf 0.8 -> crop (32, 64) at offsets (4, 8): chroma-aligned.
+    uris = [f"synthetic://n=48,h=40,w=80,seed={1000 * i}" for i in range(2)]
+    p = FeatureExtractionParams(
+        num_frames=8, reso_h=48, reso_w=64, compute_dtype="float32", anonymized=False
+    )
+    r_rgb = extract_features(p, uris, str(tmp_path / "rgb"), decode_hw=(40, 80),
+                             batch_size=4, log_fn=lambda s: None)
+    r_yuv = extract_features(p, uris, str(tmp_path / "yuv"), decode_hw=(40, 80),
+                             batch_size=4, decode_mode="yuv", log_fn=lambda s: None)
+    assert r_yuv["clips"] == r_rgb["clips"] > 0
+    for uri in uris:
+        a = np.load(r_rgb["saved"][uri])
+        b = np.load(r_yuv["saved"][uri])
+        assert a.shape == b.shape
+        cos = (a * b).sum() / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-9)
+        assert cos > 0.99, cos
