@@ -64,9 +64,10 @@ def iter_clip_batches(
     """Stream clip batches packed across videos.
 
     ``decode_mode="rgb"``: batches are (batch_size, T, H, W, 3) uint8.
-    ``decode_mode="yuv"``: batches are (y, u, v) planar uint8 tuples at native
-    resolution (y (B,T,H,W); u/v half-res) — 1.5 bytes/px of host->device traffic and
-    no host-side color conversion (the planar ingest mode; ops/yuv.py). Full-range
+    ``decode_mode="yuv"``: batches are ONE packed (batch_size, T, H*W*3//2) uint8
+    buffer of [Y | U | V] planes at native resolution — 1.5 bytes/px of host->device
+    traffic in a single contiguous transfer, no host-side color conversion (the
+    planar ingest mode; ops/yuv.py unpacks and converts on device). Full-range
     (yuvj) sources are rejected — use rgb mode for those.
 
     Yields (clips, refs, clip_counts) where refs map batch rows to (video, clip) and
@@ -89,7 +90,17 @@ def iter_clip_batches(
                     raise RuntimeError(
                         f"{uri}: full-range (yuvj) source — use decode_mode='rgb'"
                     )
-                clips.append((ClipRef(vi, ci), (y, u, v)))
+                if y.shape[-2:] != tuple(decode_hw):
+                    raise RuntimeError(
+                        f"{uri}: native size {y.shape[-2:]} != decode_hw {decode_hw} — "
+                        "yuv mode reads at native resolution; pass matching decode_hw "
+                        "or use decode_mode='rgb' (which rescales)"
+                    )
+                t = y.shape[0]
+                packed = np.concatenate(
+                    [y.reshape(t, -1), u.reshape(t, -1), v.reshape(t, -1)], axis=1
+                )
+                clips.append((ClipRef(vi, ci), packed))
             else:
                 clips.append((ClipRef(vi, ci), vr.read_strided(s, p.num_frames, p.clip_stride)))
         vr.close()
@@ -107,11 +118,7 @@ def iter_clip_batches(
         futures.add(pool.submit(decode_video, next_submit))
         next_submit += 1
 
-    def stack(batch):
-        if decode_mode == "yuv":
-            return tuple(np.stack([c[k] for c in batch]) for k in range(3))
-        return np.stack(batch)
-
+    stack = np.stack
     buf_clips: list[Any] = []
     buf_refs: list[ClipRef] = []
     while futures:
@@ -137,15 +144,16 @@ def iter_clip_batches(
 
 def make_extract_step(
     ft_model, p: FeatureExtractionParams, fa=None, use_pallas: bool | None = None, mesh=None,
-    yuv: bool = False,
+    yuv: bool = False, yuv_hw: tuple[int, int] = (240, 320),
 ) -> Callable:
     """One fused program: /255 + center-crop + resize + (frozen fa) + ft features.
 
     ``use_pallas`` selects the Pallas matmul-resample preprocessing kernel
     (ops/pallas_preprocess.py) — default on TPU backends, XLA path elsewhere.
-    ``yuv``: the step takes planar ``(y, u, v)`` uint8 batches (decode_mode='yuv') and
-    fuses chroma upsample + BT.601 into the preprocess (ops/yuv.py) — half the
-    host->device bytes of RGB24.
+    ``yuv``: the step takes ONE packed (B, T, H*W*3//2) uint8 [Y|U|V] buffer per batch
+    (decode_mode='yuv', plane size from ``yuv_hw``) and fuses chroma upsample +
+    BT.601 into the preprocess (ops/yuv.py) — half the host->device bytes of RGB24
+    in a single contiguous transfer.
     ``mesh``: a 1-D ``jax.sharding.Mesh`` to shard the clip batch over local chips
     (params replicated) — the DataParallel replacement (dali_extraction.py:128-133)."""
     if use_pallas is None:
@@ -156,20 +164,24 @@ def make_extract_step(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         axis = mesh.axis_names[0]
-        batch_sh = NamedSharding(mesh, P(axis))
-        in_batch = (batch_sh,) * 3 if yuv else (batch_sh,)
         shardings = dict(
-            in_shardings=(NamedSharding(mesh, P()), *in_batch),
-            out_shardings=batch_sh,
+            in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P(axis))),
+            out_shardings=NamedSharding(mesh, P(axis)),
         )
 
     @functools.partial(jax.jit, **shardings)
-    def extract(ft_vars, clips_u8, u_u8=None, v_u8=None):
+    def extract(ft_vars, clips_u8):
         if yuv:
             from ted_spad_tpu.ops.yuv import fused_preprocess_yuv
 
+            h, w = yuv_hw
+            b, t = clips_u8.shape[0], clips_u8.shape[1]
+            yb, cb = h * w, (h // 2) * (w // 2)
+            y_u8 = clips_u8[..., :yb].reshape(b, t, h, w)
+            u_u8 = clips_u8[..., yb : yb + cb].reshape(b, t, h // 2, w // 2)
+            v_u8 = clips_u8[..., yb + cb :].reshape(b, t, h // 2, w // 2)
             img = fused_preprocess_yuv(
-                clips_u8, u_u8, v_u8, out_h=p.reso_h, out_w=p.reso_w,
+                y_u8, u_u8, v_u8, out_h=p.reso_h, out_w=p.reso_w,
                 cropping_factor=p.cropping_factor,
                 out_dtype=jnp.dtype(p.compute_dtype),
             ).astype(jnp.float32)
@@ -268,7 +280,9 @@ def extract_features(
     )
     if ft_variables is not None:
         ft_vars = ft_variables
-    extract = make_extract_step(ft_model, p, fa, mesh=mesh, yuv=decode_mode == "yuv")
+    extract = make_extract_step(
+        ft_model, p, fa, mesh=mesh, yuv=decode_mode == "yuv", yuv_hw=decode_hw
+    )
 
     bs = batch_size or max(p.batch_size, 1)
     acc: dict[int, dict[int, np.ndarray]] = {}
@@ -299,10 +313,7 @@ def extract_features(
         counts.update(clip_counts)
         # Async dispatch: enqueue this batch, then drain the previous one while the
         # device works (double buffering through the JAX dispatch queue).
-        if decode_mode == "yuv":
-            feats = extract(ft_vars, *(jnp.asarray(c) for c in clips))
-        else:
-            feats = extract(ft_vars, jnp.asarray(clips))
+        feats = extract(ft_vars, jnp.asarray(clips))
         inflight.append((feats, refs))
         if len(inflight) > 1:
             drain(inflight.pop(0))
