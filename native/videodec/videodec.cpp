@@ -316,14 +316,30 @@ int vd_full_range(void* h) {
 // NATIVE resolution — the TPU ingest mode: 1.5 bytes/px host->device instead of 3,
 // chroma upsampling + BT.601 color conversion fused into the device preprocess
 // (ops/yuv.py). DALI's GPU-side decode equivalent (dali_extraction.py:53-81).
+// Returns frames written, or -1 for odd native dimensions (the (W/2,H/2) plane
+// layout would disagree with the caller's buffers) / a failed pixel-format
+// conversion (counting such frames as delivered would leak uninitialized memory).
 int64_t vd_read_indices_yuv(void* h, const int64_t* indices, int64_t n, uint8_t* out_y,
                             uint8_t* out_u, uint8_t* out_v) {
   auto dec = static_cast<Decoder*>(h);
-  const int64_t yb = static_cast<int64_t>(dec->codec->width) * dec->codec->height;
+  const int W = dec->codec->width, H = dec->codec->height;
+  if ((W | H) & 1) {
+    g_last_error = "yuv read requires even native dimensions";
+    return -1;
+  }
+  const int64_t yb = static_cast<int64_t>(W) * H;
   const int64_t cb = yb / 4;
-  return gather_indices(dec, indices, n, [&](int64_t slot) {
-    to_yuv420(dec, out_y + slot * yb, out_u + slot * cb, out_v + slot * cb);
+  bool failed = false;
+  int64_t written = gather_indices(dec, indices, n, [&](int64_t slot) {
+    if (to_yuv420(dec, out_y + slot * yb, out_u + slot * cb, out_v + slot * cb) < 0) {
+      failed = true;
+    }
   });
+  if (failed) {
+    g_last_error = "yuv420 conversion failed (unsupported pixel format)";
+    return -1;
+  }
+  return written;
 }
 
 int64_t vd_read_strided_yuv(void* h, int64_t start, int64_t n, int64_t stride,

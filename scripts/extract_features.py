@@ -26,7 +26,11 @@ def main() -> None:
     ap.add_argument("--num_shards", type=int, default=1)
     ap.add_argument("--decode_mode", type=str, default="rgb", choices=["rgb", "yuv"],
                     help="'yuv': planar ingest — half the host->device bytes, "
-                         "chroma upsample + BT.601 fused into the device preprocess")
+                         "chroma upsample + BT.601 fused into the device preprocess "
+                         "(reads at native resolution; set --decode_hw to match)")
+    ap.add_argument("--decode_hw", type=int, nargs=2, default=None, metavar=("H", "W"),
+                    help="decode resolution (default 240 320); in yuv mode must equal "
+                         "the videos' native resolution")
     args = ap.parse_args()
     setup_platform(args)
 
@@ -51,7 +55,7 @@ def main() -> None:
 
         assert args.videos_glob, "pass --videos_glob or --synthetic"
         uris = sorted(_glob.glob(args.videos_glob))
-        decode_hw = (240, 320)
+        decode_hw = tuple(args.decode_hw) if args.decode_hw else (240, 320)
 
     res = extract_features(
         p, uris, args.out_dir, batch_size=args.batch, decode_hw=decode_hw,

@@ -156,11 +156,19 @@ class VideoReader:
             u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
+        if got < 0:
+            raise IOError(
+                f"yuv read failed for {self.path}: {self._lib.vd_last_error().decode()}"
+            )
         if got < n:
-            for p in (y, u, v):
-                if got == 0:
-                    p[:] = 0
-                else:
+            if got == 0:
+                # Neutral padding: Y=0, U=V=128 decodes to black like the RGB path's
+                # zero fill (U=V=0 would decode to green).
+                y[:] = 0
+                u[:] = 128
+                v[:] = 128
+            else:
+                for p in (y, u, v):
                     p[got:] = p[got - 1]
         return y, u, v, bool(self._lib.vd_full_range(self._h))
 

@@ -118,7 +118,6 @@ def iter_clip_batches(
         futures.add(pool.submit(decode_video, next_submit))
         next_submit += 1
 
-    stack = np.stack
     buf_clips: list[Any] = []
     buf_refs: list[ClipRef] = []
     while futures:
@@ -130,7 +129,7 @@ def iter_clip_batches(
                 buf_refs.append(ref)
                 buf_clips.append(clip)
                 if len(buf_clips) == batch_size:
-                    yield stack(buf_clips), list(buf_refs), dict(clip_counts)
+                    yield np.stack(buf_clips), list(buf_refs), dict(clip_counts)
                     buf_clips, buf_refs = [], []
             if next_submit < len(video_uris):
                 futures.add(pool.submit(decode_video, next_submit))
@@ -139,7 +138,7 @@ def iter_clip_batches(
         refs = list(buf_refs)
         while len(buf_clips) < batch_size:
             buf_clips.append(buf_clips[-1])
-        yield stack(buf_clips), refs, dict(clip_counts)
+        yield np.stack(buf_clips), refs, dict(clip_counts)
 
 
 def make_extract_step(

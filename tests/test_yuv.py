@@ -82,6 +82,21 @@ def test_synthetic_reader_yuv_close_to_rgb():
     assert d.mean() < 0.04 and d.max() < 0.6, (d.mean(), d.max())
 
 
+def test_full_range_matches_oracle():
+    """The full-range (yuvj/pc) matrix — reachable via fused_preprocess_yuv's
+    ``full_range=True`` for callers handling yuvj sources directly."""
+    rng = np.random.default_rng(4)
+    y = rng.integers(0, 256, (1, 2, 48, 64), np.uint8)
+    u = rng.integers(0, 256, (1, 2, 24, 32), np.uint8)
+    v = rng.integers(0, 256, (1, 2, 24, 32), np.uint8)
+    got = np.asarray(
+        fused_preprocess_yuv(y, u, v, out_h=32, out_w=40, cropping_factor=0.75,
+                             out_dtype=np.float32, full_range=True)
+    )
+    ref = _numpy_oracle(y, u, v, 32, 40, 0.75, full_range=True)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_misaligned_crop_rejected():
     y = np.zeros((1, 1, 50, 64), np.uint8)  # cf .8 of 50 -> 40 crop, offset 5 (odd)
     u = np.zeros((1, 1, 25, 32), np.uint8)
