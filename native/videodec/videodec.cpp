@@ -34,6 +34,7 @@ struct Decoder {
   AVCodecContext* codec = nullptr;
   SwsContext* sws = nullptr;
   SwsContext* sws_yuv = nullptr;  // lazy: non-yuv420p sources -> planar yuv420p
+  int sws_yuv_fmt = AV_PIX_FMT_NONE;  // pixel format the lazy context was built for
   AVFrame* frame = nullptr;
   AVFrame* rgb = nullptr;
   AVPacket* pkt = nullptr;
@@ -103,9 +104,9 @@ int decode_next(Decoder* dec) {
 int to_rgb(Decoder* dec, uint8_t* out) {
   uint8_t* dst[4] = {out, nullptr, nullptr, nullptr};
   int dst_linesize[4] = {dec->out_w * 3, 0, 0, 0};
-  sws_scale(dec->sws, dec->frame->data, dec->frame->linesize, 0, dec->codec->height, dst,
-            dst_linesize);
-  return 0;
+  int rows = sws_scale(dec->sws, dec->frame->data, dec->frame->linesize, 0,
+                       dec->codec->height, dst, dst_linesize);
+  return rows == dec->out_h ? 0 : -1;
 }
 
 // Copy dec->frame as planar yuv420p at NATIVE resolution into caller buffers
@@ -122,15 +123,19 @@ int to_yuv420(Decoder* dec, uint8_t* y, uint8_t* u, uint8_t* v) {
     for (int r = 0; r < ch; ++r) memcpy(v + static_cast<int64_t>(r) * cw, f->data[2] + static_cast<int64_t>(r) * f->linesize[2], cw);
     return 0;
   }
-  if (!dec->sws_yuv) {
+  // Key the lazy context on the frame's pixel format so a mid-stream format
+  // change rebuilds it instead of silently reusing a stale conversion.
+  if (!dec->sws_yuv || dec->sws_yuv_fmt != f->format) {
+    if (dec->sws_yuv) sws_freeContext(dec->sws_yuv);
     dec->sws_yuv = sws_getContext(W, H, static_cast<AVPixelFormat>(f->format), W, H,
                                   AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr, nullptr);
+    dec->sws_yuv_fmt = f->format;
     if (!dec->sws_yuv) return -1;
   }
   uint8_t* dst[4] = {y, u, v, nullptr};
   int ls[4] = {W, cw, cw, 0};
-  sws_scale(dec->sws_yuv, f->data, f->linesize, 0, H, dst, ls);
-  return 0;
+  int rows = sws_scale(dec->sws_yuv, f->data, f->linesize, 0, H, dst, ls);
+  return rows == H ? 0 : -1;
 }
 
 // Seek so that the decoder's next emitted frame index is <= target. Conservative:
@@ -188,7 +193,10 @@ int seek_to(Decoder* dec, int64_t target) {
 
 // Walk sorted `indices`, invoking sink(slot) with dec->frame holding each target.
 // decord get_batch semantics: skips forward within one decode pass, seeks when the gap
-// is large or backwards. Returns number of frames delivered (may be < n at EOF).
+// is large or backwards. The sink returns 0 on success, <0 on conversion failure —
+// a failed conversion aborts the walk immediately (its slot is NOT counted; decoding
+// the remaining frames would be wasted work). Returns frames delivered (< n at EOF
+// or on conversion failure).
 template <typename Sink>
 int64_t gather_indices(Decoder* dec, const int64_t* indices, int64_t n, Sink&& sink) {
   int64_t written = 0;
@@ -208,7 +216,7 @@ int64_t gather_indices(Decoder* dec, const int64_t* indices, int64_t n, Sink&& s
       have = dec->next_frame - 1 == target;
     }
     if (ret <= 0 && !have) break;
-    sink(written);
+    if (sink(written) < 0) break;
     written++;
   }
   return written;
@@ -287,7 +295,7 @@ int64_t vd_read_indices(void* h, const int64_t* indices, int64_t n, uint8_t* out
   auto dec = static_cast<Decoder*>(h);
   const int64_t frame_bytes = static_cast<int64_t>(dec->out_w) * dec->out_h * 3;
   return gather_indices(dec, indices, n,
-                        [&](int64_t slot) { to_rgb(dec, out + slot * frame_bytes); });
+                        [&](int64_t slot) { return to_rgb(dec, out + slot * frame_bytes); });
 }
 
 // Sequential strided read: frames start, start+stride, ... (n frames) into out.
@@ -301,6 +309,25 @@ int64_t vd_read_strided(void* h, int64_t start, int64_t n, int64_t stride, uint8
 // Native resolution of the coded stream (YUV reads ignore the out_w/out_h scaler).
 int vd_native_width(void* h) { return static_cast<Decoder*>(h)->codec->width; }
 int vd_native_height(void* h) { return static_cast<Decoder*>(h)->codec->height; }
+
+// Colorspace tag of the coded stream, collapsed to the matrix family the device
+// conversion must use: 601 (BT.601/SMPTE170M/470BG), 709 (BT.709), 0 for untagged
+// (swscale's default assumption is 601), -1 for anything else (BT.2020 etc.).
+// The YUV ingest path (ops/yuv.py) hardcodes BT.601 to match the RGB path's
+// swscale default; callers use this to reject streams whose tag disagrees.
+int vd_colorspace(void* h) {
+  switch (static_cast<Decoder*>(h)->codec->colorspace) {
+    case AVCOL_SPC_BT470BG:
+    case AVCOL_SPC_SMPTE170M:
+      return 601;
+    case AVCOL_SPC_BT709:
+      return 709;
+    case AVCOL_SPC_UNSPECIFIED:
+      return 0;
+    default:
+      return -1;
+  }
+}
 
 // 1 if the stream is full-range (yuvj/pc range), else 0 (limited/studio range —
 // the untagged default swscale also assumes for BT.601 conversion).
@@ -331,9 +358,9 @@ int64_t vd_read_indices_yuv(void* h, const int64_t* indices, int64_t n, uint8_t*
   const int64_t cb = yb / 4;
   bool failed = false;
   int64_t written = gather_indices(dec, indices, n, [&](int64_t slot) {
-    if (to_yuv420(dec, out_y + slot * yb, out_u + slot * cb, out_v + slot * cb) < 0) {
-      failed = true;
-    }
+    int r = to_yuv420(dec, out_y + slot * yb, out_u + slot * cb, out_v + slot * cb);
+    if (r < 0) failed = true;  // gather aborts on the first failure (no wasted decode)
+    return r;
   });
   if (failed) {
     g_last_error = "yuv420 conversion failed (unsupported pixel format)";

@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--decode_hw", type=int, nargs=2, default=None, metavar=("H", "W"),
                     help="decode resolution (default 240 320); in yuv mode must equal "
                          "the videos' native resolution")
+    ap.add_argument("--num_workers", type=int, default=8,
+                    help="host decode threads — the throughput knob when extraction is "
+                         "decode-bound (~1 host core per software-decode thread; size to "
+                         "the host's core budget)")
     args = ap.parse_args()
     setup_platform(args)
 
@@ -60,9 +64,10 @@ def main() -> None:
     res = extract_features(
         p, uris, args.out_dir, batch_size=args.batch, decode_hw=decode_hw,
         shard_id=args.shard_id, num_shards=args.num_shards, mesh=maybe_mesh(args),
-        decode_mode=args.decode_mode,
+        decode_mode=args.decode_mode, num_workers=args.num_workers,
     )
-    print(f"done; {res['clips']} clips @ {res['clips_per_sec']:.2f} clips/s")
+    print(f"done; {res['clips']} clips @ {res['clips_per_sec']:.2f} clips/s"
+          + (f"; {len(res['skipped'])} videos skipped (undecodable)" if res["skipped"] else ""))
 
 
 if __name__ == "__main__":

@@ -186,6 +186,11 @@ class AnonymizationParams(VideoParams):
     # reference-scale batches on one chip; see stages/anonymization_training.py).
     accum_steps: int = 1
 
+    # Reproduce the reference's scrambled fa-input reshape (train_anonymizer.py:86-92;
+    # SURVEY §3.1 ⚠) inside the jitted steps — for feature-level A/B debugging against
+    # torch activations. Default off: the rebuild trains on clean RGB frames.
+    quirk_compat: bool = False
+
     # Checkpoint gating (train_anonymizer.py:511): save best only above this top-1.
     save_acc_threshold: float = 0.6
 
@@ -246,6 +251,10 @@ class FeatureExtractionParams(StageParams):
     saved_model_ft: str | None = None
     arch_fa: str = "unet++"
     arch_ft: str = "largei3d"
+    # Reproduce the reference's extraction-side reshape quirk (dali_extraction.py:168-173:
+    # clean per-frame fa, then a reinterpreting reshape scrambles what ft sees) for
+    # feature-level A/B debugging. Default off: clean layout end to end.
+    quirk_compat: bool = False
     # DALI-equivalent windowing (dali_extraction.py:72-73): 16 frames, stride 2, step 32.
     @property
     def clip_stride(self) -> int:

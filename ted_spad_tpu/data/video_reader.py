@@ -66,6 +66,8 @@ def _load_library():
         lib.vd_native_height.argtypes = [ctypes.c_void_p]
         lib.vd_full_range.restype = ctypes.c_int
         lib.vd_full_range.argtypes = [ctypes.c_void_p]
+        lib.vd_colorspace.restype = ctypes.c_int
+        lib.vd_colorspace.argtypes = [ctypes.c_void_p]
         lib.vd_read_strided_yuv.restype = ctypes.c_int64
         lib.vd_read_strided_yuv.argtypes = [
             ctypes.c_void_p,
@@ -115,6 +117,13 @@ class VideoReader:
         self.height = lib.vd_height(self._h)
         self.fps = lib.vd_fps(self._h)
         self._num_frames = int(lib.vd_num_frames(self._h))
+
+    @property
+    def colorspace(self) -> int:
+        """Stream colorspace family: 601, 709, 0 (untagged — swscale assumes 601),
+        -1 (other, e.g. BT.2020). The YUV ingest path only supports 601/untagged
+        (ops/yuv.py hardcodes BT.601 to match the RGB path's swscale default)."""
+        return int(self._lib.vd_colorspace(self._h))
 
     def __len__(self) -> int:
         return self._num_frames
@@ -234,6 +243,8 @@ class SyntheticVideoReader:
 
     def __len__(self) -> int:
         return self._n
+
+    colorspace = 601  # the emulated planar encode below is BT.601
 
     def get_batch(self, indices: Sequence[int]) -> np.ndarray:
         return np.stack([self._frame(int(i) % self._n) for i in indices])

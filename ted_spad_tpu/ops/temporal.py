@@ -32,6 +32,55 @@ def scrambled_frame_view(video: np.ndarray) -> np.ndarray:
     return np.transpose(bundles, (0, 2, 3, 1))  # channels-last pseudo-frames
 
 
+def unscrambled_frame_view(frames: np.ndarray, b: int, t: int) -> np.ndarray:
+    """Exact inverse of :func:`scrambled_frame_view`: pseudo-frames ``(B*T, H, W, 3)``
+    back to channels-last video ``(B, T, H, W, C)``."""
+    n, h, w, _ = frames.shape
+    assert n == b * t
+    bundles = np.transpose(frames, (0, 3, 1, 2))  # (B*C*T/3, 3, H, W)
+    perm = bundles.reshape(b, 3, t, h, w)  # (B, C, T, H, W)
+    return np.transpose(perm, (0, 2, 3, 4, 1))
+
+
+def scrambled_frame_view_jnp(video):
+    """Jittable :func:`scrambled_frame_view` — the same quirk layout on-device, so
+    ``quirk_compat`` stages reproduce reference fa-input tensors inside the compiled
+    step (train_anonymizer.py:86-92)."""
+    import jax.numpy as jnp
+
+    b, t, h, w, c = video.shape
+    assert t % 3 == 0 and c == 3, "quirk view needs T % 3 == 0 and RGB input"
+    perm = jnp.transpose(video, (0, 4, 1, 2, 3))
+    bundles = perm.reshape(b * c * (t // 3), 3, h, w)
+    return jnp.transpose(bundles, (0, 2, 3, 1))
+
+
+def unscrambled_frame_view_jnp(frames, b: int, t: int):
+    """Jittable inverse of :func:`scrambled_frame_view_jnp`."""
+    import jax.numpy as jnp
+
+    n, h, w, _ = frames.shape
+    bundles = jnp.transpose(frames, (0, 3, 1, 2))
+    perm = bundles.reshape(b, 3, t, h, w)
+    return jnp.transpose(perm, (0, 2, 3, 4, 1))
+
+
+def extraction_return_scramble_jnp(frames, b: int, t: int):
+    """The EXTRACTION-side quirk (dali_extraction.py:168-173): fa runs on clean
+    ``(B*T, C, H, W)`` frames, but the return ``.reshape(B, C, T, H, W)`` reinterprets
+    the (B, T, C)-ordered memory as (B, C, T) — so ft's channel c at time t reads
+    frame ``(c*T + t) // 3``, channel ``(c*T + t) % 3``. Given channels-last clean fa
+    output ``(B*T, H, W, C)``, returns the channels-last ``(B, T, H, W, C)`` tensor ft
+    would see under the reference's scrambled reinterpretation."""
+    import jax.numpy as jnp
+
+    n, h, w, c = frames.shape
+    assert n == b * t and c == 3
+    mem = jnp.transpose(frames, (0, 3, 1, 2)).reshape(b, t * c, h, w)  # torch memory order
+    perm = mem.reshape(b, c, t, h, w)  # the reference's reinterpreting reshape
+    return jnp.transpose(perm, (0, 2, 3, 4, 1))
+
+
 def process_feat(feat: np.ndarray, length: int = 32) -> np.ndarray:
     """Linear segment mean-pooling of a (T, F) feature sequence to (length, F)
     (utils/utils.py:34-42). Segment boundaries via integer linspace; empty segments copy the

@@ -54,17 +54,38 @@ from ted_spad_tpu.stages.common import make_optimizer, set_learning_rate
 from ted_spad_tpu.utils.checkpoint import BestCheckpointer, save_checkpoint, save_temp
 
 
-def _anon_frames(fa_model, fa_vars, video, train: bool, rng=None, remat: bool = True):
+def _anon_frames(fa_model, fa_vars, video, train: bool, rng=None, remat: bool = True,
+                 quirk: bool = False):
     """fa over every frame of (B, V, T, h, w, C); returns same shape, f32.
 
     ``remat``: rematerialize fa activations in the backward (jax.checkpoint) — at the
     reference scale (8 videos x 3 views x 16 frames at 224², params_anonymization.py) the
     un-checkpointed backward exceeds a v5e chip's 16GB HBM; remat trades ~1 extra forward
-    for sub-linear activation memory (the AMP-era GPU memory trick's TPU counterpart)."""
+    for sub-linear activation memory (the AMP-era GPU memory trick's TPU counterpart).
+
+    ``quirk``: reproduce the reference's scrambled fa input (train_anonymizer.py:86-92):
+    fa sees 3-slice same-channel time bundles instead of RGB frames, then the output is
+    reinterpreted back — applies only to clip tensors (with a time axis); VISPR images
+    go through fa clean in the reference too (:80)."""
     from ted_spad_tpu.ops.fast_unetpp import make_fast_fa_apply
 
     lead = video.shape[:-3]
-    frames = video.reshape((-1,) + video.shape[-3:])
+    if quirk and video.ndim == 6:
+        from ted_spad_tpu.ops.temporal import (
+            scrambled_frame_view_jnp,
+            unscrambled_frame_view_jnp,
+        )
+
+        b = video.shape[0]
+        vt = video.shape[1] * video.shape[2]  # views concatenated on T (:93-98)
+        flat_tv = video.reshape((b, vt) + video.shape[-3:])
+        frames = scrambled_frame_view_jnp(flat_tv)
+        unscramble = lambda out: unscrambled_frame_view_jnp(out, b, vt).reshape(
+            lead + out.shape[-3:]
+        )
+    else:
+        frames = video.reshape((-1,) + video.shape[-3:])
+        unscramble = None
     kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
     # Fused decoder forms (exact weight re-binnings) in train AND eval; the fast
     # apply falls back to the module for non-standard calls (rngs, odd sizes).
@@ -76,11 +97,15 @@ def _anon_frames(fa_model, fa_vars, video, train: bool, rng=None, remat: bool = 
         if remat:
             apply_fn = jax.checkpoint(apply_fn)
         out, mutated = apply_fn(fa_vars, frames)
+        if unscramble is not None:
+            return unscramble(out), mutated
         return out.reshape(lead + out.shape[-3:]), mutated
     apply_fn = lambda variables, x: fast(variables, x, train=False)
     if remat:
         apply_fn = jax.checkpoint(apply_fn)
     out = apply_fn(fa_vars, frames)
+    if unscramble is not None:
+        return unscramble(out), None
     return out.reshape(lead + out.shape[-3:]), None
 
 
@@ -150,7 +175,7 @@ def make_fa_step(
             anon_v1, m1 = _anon_frames(fa_model, vars_in, vispr1[:, None], train=True)
             anon_v2, m2 = _anon_frames(fa_model, {**vars_in, **m1}, vispr2[:, None], train=True)
             loss_fb, _ = _fb_loss(fb_model, fb_vars, (anon_v1[:, 0], anon_v2[:, 0]), p, train=False)
-            anon_clips, m3 = _anon_frames(fa_model, {**vars_in, **m2}, clips, train=True)
+            anon_clips, m3 = _anon_frames(fa_model, {**vars_in, **m2}, clips, train=True, quirk=p.quirk_compat)
             loss_ft, loss_temporal, _ = _ft_losses(ft_model, ft_vars, anon_clips, labels, p, train=False)
             loss_fa = -p.fb_loss_weight * loss_fb + p.ft_loss_weight * loss_ft
             return loss_fa, (m3, loss_fb, loss_ft, loss_temporal)
@@ -173,7 +198,7 @@ def make_fa_step(
             anon_v1, m1 = _anon_frames(fa_model, vars_in, mv1[:, None], train=True)
             anon_v2, m2 = _anon_frames(fa_model, {**vars_in, **m1}, mv2[:, None], train=True)
             loss_fb, _ = _fb_loss(fb_model, fb_vars, (anon_v1[:, 0], anon_v2[:, 0]), p, train=False)
-            anon_clips, m3 = _anon_frames(fa_model, {**vars_in, **m2}, mclips, train=True)
+            anon_clips, m3 = _anon_frames(fa_model, {**vars_in, **m2}, mclips, train=True, quirk=p.quirk_compat)
             loss_ft, loss_temporal, _ = _ft_losses(ft_model, ft_vars, anon_clips, mlabels, p, train=False)
             loss_fa = -p.fb_loss_weight * loss_fb + p.ft_loss_weight * loss_ft
             return loss_fa, (m3, loss_fb, loss_ft, loss_temporal)
@@ -209,7 +234,7 @@ def make_fbft_step(fa_model, fb_model, ft_model, opt_fb, opt_ft, p: Anonymizatio
         # Frozen fa (eval + stop_gradient), train_anonymizer.py:142-148.
         anon_v1, _ = _anon_frames(fa_model, fa_vars, vispr1[:, None], train=False)
         anon_v2, _ = _anon_frames(fa_model, fa_vars, vispr2[:, None], train=False)
-        anon_clips, _ = _anon_frames(fa_model, fa_vars, clips, train=False)
+        anon_clips, _ = _anon_frames(fa_model, fa_vars, clips, train=False, quirk=p.quirk_compat)
         anon_v1, anon_v2, anon_clips = map(jax.lax.stop_gradient, (anon_v1, anon_v2, anon_clips))
 
         def loss_fn(both_params):

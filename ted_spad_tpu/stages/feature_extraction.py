@@ -60,6 +60,7 @@ def iter_clip_batches(
     decode_hw: tuple[int, int] = (240, 320),
     num_workers: int = 8,
     decode_mode: str = "rgb",
+    on_error: Callable[[int, str], None] | None = None,
 ) -> Iterator[tuple[Any, list[ClipRef], dict[int, int]]]:
     """Stream clip batches packed across videos.
 
@@ -68,7 +69,14 @@ def iter_clip_batches(
     buffer of [Y | U | V] planes at native resolution — 1.5 bytes/px of host->device
     traffic in a single contiguous transfer, no host-side color conversion (the
     planar ingest mode; ops/yuv.py unpacks and converts on device). Full-range
-    (yuvj) sources are rejected — use rgb mode for those.
+    (yuvj) and non-BT.601-tagged sources are rejected — use rgb mode for those.
+
+    ``on_error``: when given, a video whose decode raises is skipped — the callback
+    receives (video_idx, error_repr) and no clips from that video are yielded (its
+    decode is all-or-nothing, so a mid-video failure never leaks partial clips).
+    When None, decode errors propagate (strict mode — benches/tests). This is the
+    reference's corrupt-video tolerance (ucf101_dl.py:143-146 return-None + filter)
+    applied to extraction, which real UCF-Crime needs (broken files exist).
 
     Yields (clips, refs, clip_counts) where refs map batch rows to (video, clip) and
     clip_counts gives each video's total clips (known once its decode finishes). The last
@@ -85,6 +93,13 @@ def iter_clip_batches(
         clips = []
         for ci, s in enumerate(starts):
             if decode_mode == "yuv":
+                cs = getattr(vr, "colorspace", 0)
+                if cs not in (0, 601):  # untagged is swscale's 601 default
+                    raise RuntimeError(
+                        f"{uri}: colorspace tag {cs} — the YUV ingest path hardcodes "
+                        "BT.601 (matching the RGB path's swscale default); use "
+                        "decode_mode='rgb' for this source"
+                    )
                 y, u, v, full = vr.read_strided_yuv(s, p.num_frames, p.clip_stride)
                 if full:
                     raise RuntimeError(
@@ -114,8 +129,11 @@ def iter_clip_batches(
     window = max(2 * num_workers, 4)
     next_submit = 0
     futures = set()
+    vi_of: dict[Any, int] = {}
     while next_submit < len(video_uris) and len(futures) < window:
-        futures.add(pool.submit(decode_video, next_submit))
+        f = pool.submit(decode_video, next_submit)
+        vi_of[f] = next_submit
+        futures.add(f)
         next_submit += 1
 
     buf_clips: list[Any] = []
@@ -123,7 +141,19 @@ def iter_clip_batches(
     while futures:
         done, futures = wait(futures, return_when=FIRST_COMPLETED)
         for fut in done:
-            vi, clips = fut.result()
+            try:
+                vi, clips = fut.result()
+            except Exception as e:  # noqa: BLE001 — per-video tolerance, see docstring
+                if on_error is None:
+                    pool.shutdown(wait=False, cancel_futures=True)
+                    raise
+                on_error(vi_of.get(fut, -1), repr(e))
+                if next_submit < len(video_uris):
+                    f = pool.submit(decode_video, next_submit)
+                    vi_of[f] = next_submit
+                    futures.add(f)
+                    next_submit += 1
+                continue
             clip_counts[vi] = len(clips)
             for ref, clip in clips:
                 buf_refs.append(ref)
@@ -132,7 +162,9 @@ def iter_clip_batches(
                     yield np.stack(buf_clips), list(buf_refs), dict(clip_counts)
                     buf_clips, buf_refs = [], []
             if next_submit < len(video_uris):
-                futures.add(pool.submit(decode_video, next_submit))
+                f = pool.submit(decode_video, next_submit)
+                vi_of[f] = next_submit
+                futures.add(f)
                 next_submit += 1
     if buf_clips:
         refs = list(buf_refs)
@@ -155,6 +187,10 @@ def make_extract_step(
     in a single contiguous transfer.
     ``mesh``: a 1-D ``jax.sharding.Mesh`` to shard the clip batch over local chips
     (params replicated) — the DataParallel replacement (dali_extraction.py:128-133)."""
+    if yuv and p.no_ar_distortion:
+        # Guarded here (not only in extract_features) so direct callers — bench.py,
+        # tests — cannot silently get aspect-distorted output from the yuv branch.
+        raise ValueError("yuv mode does not support no_ar_distortion; use rgb")
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
 
@@ -201,14 +237,27 @@ def make_extract_step(
             frames = img.reshape((-1,) + img.shape[-3:])
             # Bridged mode: fa's head emits the 2x2 space-to-depth layout that the
             # I3Res50 fast stem consumes, so no transpose sits between the models.
+            # quirk_compat disables it — the scrambled return layout needs plain frames.
             bridged = (
-                getattr(fa_apply, "supports_s2d", False)
+                not p.quirk_compat
+                and getattr(fa_apply, "supports_s2d", False)
                 and getattr(ft_extract, "supports_s2d", False)
                 and p.reso_h % 16 == 0
                 and p.reso_w % 16 == 0
             )
             anon = fa_apply(fa_vars_c, frames, train=False, emit_s2d=bridged)
-            img = anon.reshape(lead + anon.shape[-3:])
+            if p.quirk_compat:
+                # Reference extraction quirk (dali_extraction.py:168-173): fa ran on
+                # clean frames (as here), but the return reshape reinterprets the
+                # (B, T, C) memory as (B, C, T) before ft.
+                from ted_spad_tpu.ops.temporal import extraction_return_scramble_jnp
+
+                scrambled = extraction_return_scramble_jnp(
+                    anon, int(np.prod(lead[:-1])) if len(lead) > 1 else lead[0], lead[-1]
+                )
+                img = scrambled.reshape(lead + scrambled.shape[-3:])
+            else:
+                img = anon.reshape(lead + anon.shape[-3:])
             if bridged:
                 return ft_extract(ft_vars, img, train=False, input_s2d=True)
         return ft_extract(ft_vars, img, train=False)
@@ -242,12 +291,18 @@ def extract_features(
     num_shards: int = 1,
     mesh=None,
     decode_mode: str = "rgb",
+    num_workers: int = 8,
     log_fn: Callable[[str], None] = print,
 ) -> dict[str, Any]:
-    """Stage driver. Returns {video_uri: saved_path} plus throughput stats.
+    """Stage driver. Returns {video_uri: saved_path} plus throughput stats and a
+    ``skipped`` map of {video_uri: error} for videos whose decode failed (the run
+    continues past corrupt files, like the reference's None-filter tolerance,
+    ucf101_dl.py:143-146 — real UCF-Crime contains broken videos).
 
     ``decode_mode='yuv'``: planar ingest — host ships YUV420 planes (1.5 bytes/px) and
     the device preprocess does chroma upsample + BT.601 (ops/yuv.py).
+    ``num_workers``: host decode threads; this is the throughput knob when extraction
+    is decode-bound (each software-decode thread needs roughly one host core).
     Sharding: shard ``video_uris`` round-robin per process (DALI num_shards/shard_id
     equivalent, dali_extraction.py:63-64). Resume: existing ``.npy`` skipped (:121)."""
     if decode_mode == "yuv" and p.no_ar_distortion:
@@ -255,15 +310,33 @@ def extract_features(
     os.makedirs(save_dir, exist_ok=True)
     uris = [u for i, u in enumerate(video_uris) if i % num_shards == shard_id]
 
-    def out_path(uri: str) -> str:
-        base = os.path.basename(uri).rsplit(".", 1)[0].replace("synthetic://", "synth_").replace(
+    def base_name(uri: str) -> str:
+        return os.path.basename(uri).rsplit(".", 1)[0].replace("synthetic://", "synth_").replace(
             ",", "_"
         ).replace("=", "")
-        return os.path.join(save_dir, base + ".npy")
+
+    # Same-basename videos in different directories (fine for UCF-Crime naming, which
+    # is unique) would silently clobber each other's .npy; disambiguate duplicates
+    # with a short uri hash so every input maps to a distinct, deterministic output.
+    names: dict[str, str] = {}
+    seen: dict[str, int] = {}
+    for u in uris:
+        b = base_name(u)
+        seen[b] = seen.get(b, 0) + 1
+    for u in uris:
+        b = base_name(u)
+        if seen[b] > 1:
+            import hashlib
+
+            b = b + "_" + hashlib.sha1(u.encode()).hexdigest()[:8]
+        names[u] = b
+
+    def out_path(uri: str) -> str:
+        return os.path.join(save_dir, names[uri] + ".npy")
 
     uris = [u for u in uris if not os.path.exists(out_path(u))]
     if not uris:
-        return {"saved": {}, "clips": 0, "elapsed_s": 0.0, "clips_per_sec": 0.0}
+        return {"saved": {}, "skipped": {}, "clips": 0, "elapsed_s": 0.0, "clips_per_sec": 0.0}
 
     fa = None
     if p.anonymized:
@@ -306,8 +379,16 @@ def extract_features(
                 saved[uris[vi]] = path
                 del acc[vi]
 
+    skipped: dict[str, str] = {}
+
+    def record_skip(vi: int, err: str) -> None:
+        uri = uris[vi] if 0 <= vi < len(uris) else f"<video #{vi}>"
+        skipped[uri] = err
+        log_fn(f"WARNING: skipping undecodable video {uri}: {err}")
+
     for clips, refs, clip_counts in iter_clip_batches(
-        uris, p, bs, decode_hw=decode_hw, decode_mode=decode_mode
+        uris, p, bs, decode_hw=decode_hw, decode_mode=decode_mode,
+        num_workers=num_workers, on_error=record_skip,
     ):
         counts.update(clip_counts)
         # Async dispatch: enqueue this batch, then drain the previous one while the
@@ -329,6 +410,7 @@ def extract_features(
 
     elapsed = time.time() - t0
     log_fn(f"extracted {n_clips} clips from {len(saved)} videos in {elapsed:.1f}s "
-           f"({n_clips / max(elapsed, 1e-9):.2f} clips/s)")
-    return {"saved": saved, "clips": n_clips, "elapsed_s": elapsed,
+           f"({n_clips / max(elapsed, 1e-9):.2f} clips/s)"
+           + (f"; skipped {len(skipped)} undecodable" if skipped else ""))
+    return {"saved": saved, "skipped": skipped, "clips": n_clips, "elapsed_s": elapsed,
             "clips_per_sec": n_clips / max(elapsed, 1e-9)}

@@ -100,3 +100,106 @@ def test_fast_paths_match_module_extraction():
     anon = anon.reshape(img.shape[:-3] + anon.shape[-3:])
     ref = ft_model.apply(ft_vars, anon, train=False, method="extract_features")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+class TestCorruptVideoTolerance:
+    """VERDICT r2 #4: one broken file must not kill an extraction run (reference's
+    return-None + collate-filter pattern, ucf101_dl.py:143-146, applied to extraction)."""
+
+    def test_failing_uri_mid_list_skipped(self, tmp_path):
+        from ted_spad_tpu.stages.feature_extraction import extract_features
+
+        p = FeatureExtractionParams(
+            num_frames=8, fix_skip=2, batch_size=4, reso_h=32, reso_w=32,
+            anonymized=False, compute_dtype="float32",
+        )
+        # Middle URI has an unparsable synthetic spec -> decode_video raises.
+        uris = [
+            "synthetic://n=80,h=48,w=64,seed=0",
+            "synthetic://n=bad,h=48,w=64,seed=1",
+            "synthetic://n=80,h=48,w=64,seed=2",
+        ]
+        res = extract_features(
+            p, uris, str(tmp_path / "feats"), decode_hw=(48, 64), log_fn=lambda s: None
+        )
+        assert len(res["saved"]) == 2
+        assert list(res["skipped"]) == [uris[1]]
+        assert "ValueError" in res["skipped"][uris[1]]
+        for path in res["saved"].values():
+            assert np.load(path).shape[1] == 2048
+
+    def test_strict_mode_raises_without_on_error(self):
+        p = FeatureExtractionParams(num_frames=4, fix_skip=2)
+        with pytest.raises(ValueError):
+            list(iter_clip_batches(["synthetic://n=bad"], p, 2, decode_hw=(24, 32)))
+
+
+def test_out_path_collision_disambiguated(tmp_path):
+    """Same-basename videos in different directories must not clobber each other's
+    .npy (VERDICT r2 weak #4)."""
+    from ted_spad_tpu.data.video_reader import native_available, write_mp4
+    from ted_spad_tpu.stages.feature_extraction import extract_features
+
+    if not native_available():
+        pytest.skip("native videodec unavailable")
+    rng = np.random.default_rng(0)
+    for sub in ("a", "b"):
+        d = tmp_path / sub
+        d.mkdir()
+        frames = rng.integers(0, 255, (24, 48, 64, 3), dtype=np.uint8)
+        write_mp4(str(d / "x.mp4"), frames, fps=25.0)
+    p = FeatureExtractionParams(
+        num_frames=8, fix_skip=2, batch_size=4, reso_h=32, reso_w=32,
+        anonymized=False, compute_dtype="float32",
+    )
+    uris = [str(tmp_path / "a" / "x.mp4"), str(tmp_path / "b" / "x.mp4")]
+    res = extract_features(p, uris, str(tmp_path / "feats"), decode_hw=(48, 64),
+                           log_fn=lambda s: None)
+    assert len(res["saved"]) == 2
+    paths = set(res["saved"].values())
+    assert len(paths) == 2  # distinct outputs, no silent clobber
+    for path in paths:
+        assert "x_" in path.rsplit("/", 1)[1]  # hash-suffixed
+
+
+def test_yuv_rejects_no_ar_distortion_at_step_level():
+    """ADVICE r2: make_extract_step itself must reject yuv + no_ar_distortion so direct
+    callers (bench.py) cannot silently get aspect-distorted output."""
+    from ted_spad_tpu.models import load_ft_model
+    from ted_spad_tpu.stages.feature_extraction import make_extract_step
+
+    ft_model, _ = load_ft_model("largei3d", num_classes=5, clip_shape=(4, 32, 32),
+                                dtype="float32")
+    p = FeatureExtractionParams(num_frames=4, reso_h=32, reso_w=32, no_ar_distortion=True)
+    with pytest.raises(ValueError, match="no_ar_distortion"):
+        make_extract_step(ft_model, p, yuv=True)
+
+
+def test_yuv_rejects_non_bt601_colorspace(monkeypatch):
+    """ADVICE r2: the YUV ingest hardcodes BT.601; a BT.709-tagged stream must be
+    rejected (with rgb-mode guidance), like full-range sources already are."""
+    import ted_spad_tpu.stages.feature_extraction as fe
+    from ted_spad_tpu.data.video_reader import SyntheticVideoReader
+
+    class BT709Reader(SyntheticVideoReader):
+        colorspace = 709
+
+    monkeypatch.setattr(fe, "open_video", lambda *a, **k: BT709Reader(num_frames=40))
+    p = FeatureExtractionParams(num_frames=4, fix_skip=2)
+    with pytest.raises(RuntimeError, match="decode_mode='rgb'"):
+        list(fe.iter_clip_batches(["v.mp4"], p, 2, decode_hw=(240, 320),
+                                  decode_mode="yuv"))
+
+
+def test_native_colorspace_tag_readable(tmp_path):
+    """vd_colorspace returns a sane family for our own encoder's output (untagged or
+    601 -> accepted by the yuv path)."""
+    from ted_spad_tpu.data.video_reader import VideoReader, native_available, write_mp4
+
+    if not native_available():
+        pytest.skip("native videodec unavailable")
+    frames = np.zeros((8, 48, 64, 3), dtype=np.uint8)
+    path = str(tmp_path / "v.mp4")
+    write_mp4(path, frames, fps=25.0)
+    with VideoReader(path) as vr:
+        assert vr.colorspace in (0, 601)
