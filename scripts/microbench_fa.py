@@ -210,6 +210,39 @@ def bench_wpack(h, cin, cout, r, tag):
           f"  wpack{r} {ms_p:7.3f} ({2*gmac/ms_p:5.1f})  relerr {err:.2e}", flush=True)
 
 
+def bench_pallas_dconv(h, cin, cmid, th, tag):
+    """Pallas block-fused DoubleConv (ops/pallas_doubleconv) vs the XLA conv pair at
+    the decoder cluster shapes (ROADMAP #1): the win, if any, is the intermediate
+    activation staying in VMEM instead of an HBM round trip."""
+    from ted_spad_tpu.ops.pallas_doubleconv import double_conv_reference, fused_double_conv
+
+    x = mk((N, h, h, cin))
+    w1 = mk((3, 3, cin, cmid), 1)
+    w2 = mk((3, 3, cmid, cmid), 2)
+    b1 = jax.random.normal(jax.random.PRNGKey(3), (cmid,), jnp.float32) * 0.1
+    b2 = jax.random.normal(jax.random.PRNGKey(4), (cmid,), jnp.float32) * 0.1
+
+    ref_fn = lambda x: double_conv_reference(x, w1, b1, w2, b2)
+    fused_fn = lambda x: fused_double_conv(x, w1, b1, w2, b2, th=th)
+    r = np.asarray(jax.jit(ref_fn)(x[:2]), np.float32)
+    f = np.asarray(jax.jit(fused_fn)(x[:2]), np.float32)
+    err = np.abs(r - f).max() / max(np.abs(r).max(), 1e-6)
+    ms_ref = timeit_dev(ref_fn, x, iters=16)
+    ms_fus = timeit_dev(fused_fn, x, iters=16)
+    gmac = N * h * h * 9 * cmid * (cin + cmid) / 1e9
+    print(f"{tag:30s} {h:4d}^2 {cin:4d}->{cmid}->{cmid}  xla-pair {ms_ref:7.3f} "
+          f"({2*gmac/ms_ref:5.1f} TF/s)  pallas {ms_fus:7.3f} ({2*gmac/ms_fus:5.1f})  "
+          f"relerr {err:.2e}", flush=True)
+
+
+def bench_pallas_dconv_suite():
+    print("== pallas block-fused DoubleConv (112^2 Cout=64 cluster) ==", flush=True)
+    bench_pallas_dconv(112, 128, 64, 28, "x_2_2 DoubleConv")
+    bench_pallas_dconv(112, 192, 64, 28, "x_1_2 DoubleConv")
+    bench_pallas_dconv(112, 320, 64, 28, "x_0_2 DoubleConv")
+    bench_pallas_dconv(56, 384, 128, 28, "x_0_1 DoubleConv")
+
+
 def bench_full_fa():
     from ted_spad_tpu.models import load_fa_model
 
@@ -262,7 +295,14 @@ def main():
     print("== width-packed strided conv ==", flush=True)
     bench_wpack(224, 32, 32, 4, "x_0_3 conv2")
     bench_wpack(112, 64, 64, 2, "x_*_2 conv2")
+    bench_pallas_dconv_suite()
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--dconv" in sys.argv:
+        print(f"device: {jax.devices()[0]}, N={N} frames, dtype={DT.__name__}", flush=True)
+        bench_pallas_dconv_suite()
+    else:
+        main()

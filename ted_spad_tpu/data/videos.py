@@ -41,11 +41,32 @@ def _clip_indices(start: int, num_frames: int, skip: float) -> np.ndarray:
     return idx
 
 
+def palindrome_complete(idx: np.ndarray, frame_count: int) -> np.ndarray | None:
+    """The reference's short-clip palindrome rule, applied in index space
+    (ucf101_dl.py:550-567 contrastive train; :823-833 contrastive val, non-threecrop):
+    a clip whose trailing indices run past the video keeps its k valid frames and
+    completes with REVERSED frames ``valid[::-1][1 : n-k+1]`` (motion bounces back
+    instead of freezing on the last frame). When k <= n/2 the reference's length
+    assert fails and the clip becomes None (collate filter) — same here."""
+    n = len(idx)
+    valid = idx[idx < frame_count]
+    k = len(valid)
+    if k == n:
+        return idx
+    if k <= n / 2:
+        return None
+    return np.concatenate([valid, valid[::-1][1 : n - k + 1]])
+
+
 def sample_train_clip(
-    rng: np.random.Generator, frame_count: int, num_frames: int, fix_skip: int
+    rng: np.random.Generator, frame_count: int, num_frames: int, fix_skip: int,
+    palindrome: bool = False,
 ) -> np.ndarray:
     """Random-start strided clip with the halve-skip fallback for short videos
-    (ucf101_dl.py:71-87). Last index clamped to frame_count-1."""
+    (ucf101_dl.py:71-87). ``palindrome=True`` (the contrastive loaders) completes
+    short clips with reversed frames per :func:`palindrome_complete`; otherwise the
+    last index clamps to frame_count-1 (the single_* loaders have no palindrome
+    block — documented divergence: clamp vs decord's short return)."""
     skip = float(fix_skip)
     left_over = frame_count - skip * num_frames
     if left_over <= 0:
@@ -53,6 +74,11 @@ def sample_train_clip(
         left_over = frame_count - skip * num_frames
     start = int(rng.integers(0, max(int(left_over), 1)))
     idx = _clip_indices(start, num_frames, skip)
+    if palindrome:
+        out = palindrome_complete(idx, frame_count)
+        if out is None:
+            raise ValueError(f"clip too short ({frame_count} frames) — dropped")
+        return out
     idx[idx >= frame_count] = frame_count - 1
     return idx
 
@@ -85,18 +111,21 @@ def sample_triplet_clips(
             left_over = frame_count - skip * num_frames
         start = int(rng.integers(0, max(int(left_over), 1)))
         start_neg = int(rng.integers(0, max(int(left_over), 1)))
-    anchor = _clip_indices(start, num_frames, skip)
-    neg = _clip_indices(start_neg, num_frames, skip)
-    anchor[anchor >= frame_count] = frame_count - 1
-    neg[neg >= frame_count] = frame_count - 1
+    anchor = palindrome_complete(_clip_indices(start, num_frames, skip), frame_count)
+    neg = palindrome_complete(_clip_indices(start_neg, num_frames, skip), frame_count)
+    if anchor is None or neg is None:
+        # The reference's length assert fails -> clip dropped (collate None-filter).
+        raise ValueError(f"triplet clip too short ({frame_count} frames) — dropped")
     return anchor, anchor.copy(), neg
 
 
 def val_clip_indices(
-    frame_count: int, num_frames: int, fix_skip: int, mode: int, num_modes: int
+    frame_count: int, num_frames: int, fix_skip: int, mode: int, num_modes: int,
+    palindrome: bool = False,
 ) -> np.ndarray:
     """Deterministic mode-indexed start: linspace(0, F-10, num_modes)[mode]
-    (ucf101_dl.py:260-279)."""
+    (ucf101_dl.py:260-279). ``palindrome``: contrastive-val short-clip completion
+    (:823-833; the reference skips it under threecrop)."""
     skip = float(fix_skip)
     if skip * num_frames > frame_count:
         skip /= 2
@@ -105,6 +134,11 @@ def val_clip_indices(
     if start < 0:
         start = mode
     idx = _clip_indices(start, num_frames, skip)
+    if palindrome:
+        out = palindrome_complete(idx, frame_count)
+        if out is None:
+            raise ValueError(f"val clip too short ({frame_count} frames) — dropped")
+        return out
     idx[idx >= frame_count] = frame_count - 1
     return idx
 
@@ -207,12 +241,16 @@ class ClipDataset:
                 idx_sets = [sample_train_clip(rng, n, self.p.num_frames, self.p.fix_skip)]
             elif self.views == 2:
                 # 'con' pair: independent random second clip (temporal_align=False default,
-                # ucf101_dl.py:424-425); aligned when the params force it.
-                a = sample_train_clip(rng, n, self.p.num_frames, self.p.fix_skip)
+                # ucf101_dl.py:424-425); aligned when the params force it. Contrastive
+                # loaders apply the short-clip palindrome rule (:550-560).
+                a = sample_train_clip(rng, n, self.p.num_frames, self.p.fix_skip, palindrome=True)
                 if getattr(self.p, "temporal_align", False):
                     idx_sets = [a, a.copy()]
                 else:
-                    idx_sets = [a, sample_train_clip(rng, n, self.p.num_frames, self.p.fix_skip)]
+                    idx_sets = [
+                        a,
+                        sample_train_clip(rng, n, self.p.num_frames, self.p.fix_skip, palindrome=True),
+                    ]
             else:
                 idx_sets = list(
                     sample_triplet_clips(
@@ -300,7 +338,11 @@ class ValClipDataset:
     def _load_one(self, item: VideoItem) -> np.ndarray | None:
         try:
             vr = open_video(item.uri, self.decode_w, self.decode_h)
-            idx = val_clip_indices(len(vr), self.p.num_frames, self.p.fix_skip, self.mode, self.p.num_modes)
+            idx = val_clip_indices(
+                len(vr), self.p.num_frames, self.p.fix_skip, self.mode, self.p.num_modes,
+                # contrastive-val palindrome, skipped under threecrop (ucf101_dl.py:823-833)
+                palindrome=not getattr(self.p, "three_crop", False),
+            )
             clip = vr.get_batch(idx)
             vr.close()
             return clip

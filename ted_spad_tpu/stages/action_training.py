@@ -41,7 +41,7 @@ from ted_spad_tpu.ops.losses import (
     triplet_margin_loss,
 )
 from ted_spad_tpu.ops.metrics import top1_accuracy
-from ted_spad_tpu.stages.common import LRScheduler, make_optimizer, set_learning_rate
+from ted_spad_tpu.stages.common import LRScheduler, epoch_mean, make_optimizer, set_learning_rate
 from ted_spad_tpu.utils.checkpoint import BestCheckpointer, load_checkpoint, restore_like, save_temp
 
 
@@ -295,8 +295,8 @@ def train_action(
 
                 clips, labels, aug = shard_batch(mesh, (clips, labels, aug))
             variables, opt_state, loss = train_step(variables, opt_state, step_rng, clips, labels, aug)
-            losses.append(float(loss))
-        train_loss = float(np.mean(losses)) if losses else float("nan")
+            losses.append(loss)  # raw device scalar; synced once per epoch (epoch_mean)
+        train_loss = epoch_mean(losses)
         sched.update(train_loss)
         history["train_loss"].append(train_loss)
 

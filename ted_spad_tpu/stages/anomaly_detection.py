@@ -231,7 +231,7 @@ def train_anomaly_detection(
     epochs = max_epochs or p.max_epoch
     history = {"epoch": [], "test_AUC": [], "test_PR": [], "loss": []}
 
-    from ted_spad_tpu.stages.common import set_learning_rate
+    from ted_spad_tpu.stages.common import epoch_mean, set_learning_rate
     from ted_spad_tpu.utils.logging import MetricsWriter
 
     writer = MetricsWriter(save_dir, p.model_name)
@@ -245,7 +245,7 @@ def train_anomaly_detection(
         ):
             rng, step_rng = jax.random.split(rng)
             variables, opt_state, loss = train_step(variables, opt_state, step_rng, *map(jnp.asarray, batch))
-            loss_val = float(loss)
+            loss_val = loss  # raw device scalar; synced after the loop
         auc_roc, auc_pr = evaluate(
             score_fn, variables, test_ds, gt,
             eval_batch=eval_batch, frames_per_clip=p.frames_per_clip,
@@ -253,6 +253,7 @@ def train_anomaly_detection(
         history["epoch"].append(epoch)
         history["test_AUC"].append(auc_roc)
         history["test_PR"].append(auc_pr)
+        loss_val = epoch_mean([loss_val]) if loss_val is not None else float("nan")
         history["loss"].append(loss_val)
         writer.scalars({"loss": loss_val, "roc_auc": auc_roc, "pr_auc": auc_pr}, epoch)
         metric = auc_pr if select_pr else auc_roc

@@ -50,7 +50,7 @@ from ted_spad_tpu.ops.losses import (
     triplet_margin_loss,
 )
 from ted_spad_tpu.stages.action_training import evaluate_action, make_eval_step
-from ted_spad_tpu.stages.common import make_optimizer, set_learning_rate
+from ted_spad_tpu.stages.common import epoch_mean, make_optimizer, set_learning_rate
 from ted_spad_tpu.utils.checkpoint import BestCheckpointer, save_checkpoint, save_temp
 
 
@@ -382,19 +382,19 @@ def train_anonymizer(
                 fa_vars, st_fa, lfa, lfb, lft, ltemp = fa_step(
                     fa_vars, st_fa, fb_vars, ft_vars, k1, v1, v2, clips, labels
                 )
-                ep_losses["fa"].append(float(lfa))
+                ep_losses["fa"].append(lfa)  # raw device scalars; one sync per epoch
                 step = 2
             else:
                 fb_vars, ft_vars, st_fb, st_ft, lfb, lft, ltemp = fbft_step(
                     fa_vars, fb_vars, ft_vars, st_fb, st_ft, k2, v1, v2, clips, labels
                 )
-                ep_losses["fb"].append(float(lfb))
-                ep_losses["ft"].append(float(lft))
-                ep_losses["temporal"].append(float(ltemp))
+                ep_losses["fb"].append(lfb)
+                ep_losses["ft"].append(lft)
+                ep_losses["temporal"].append(ltemp)
                 step = 1
 
         for k in ("fa", "fb", "ft", "temporal"):
-            history[f"loss_{k}"].append(float(np.mean(ep_losses[k])) if ep_losses[k] else float("nan"))
+            history[f"loss_{k}"].append(epoch_mean(ep_losses[k]))
 
         acc = float("nan")
         if epoch in p.val_array or epoch == epochs:

@@ -139,5 +139,13 @@ def tree_finite(tree) -> bool:
     return all(bool(jnp.isfinite(leaf).all()) for leaf in leaves if hasattr(leaf, "dtype"))
 
 
-def epoch_mean(losses: list[float]) -> float:
-    return float(np.mean(losses)) if losses else float("nan")
+def epoch_mean(losses) -> float:
+    """Mean of per-step losses with the host sync deferred to epoch end.
+
+    Training loops append the RAW device scalar each step — ``float(loss)`` inside
+    the loop would force a device round-trip per step, defeating JAX's async
+    dispatch (on a tunneled/remote device that serializes host<->device latency
+    into every step). All values are fetched together here, once per epoch."""
+    if not losses:
+        return float("nan")
+    return float(np.mean(jax.device_get(list(losses))))

@@ -24,7 +24,7 @@ from ted_spad_tpu.data.images import sample_image_augment_params
 from ted_spad_tpu.models import load_fa_model
 from ted_spad_tpu.ops.augment import augment_batch, center_crop_resize
 from ted_spad_tpu.ops.losses import l1_loss
-from ted_spad_tpu.stages.common import LRScheduler, make_optimizer, set_learning_rate
+from ted_spad_tpu.stages.common import LRScheduler, epoch_mean, make_optimizer, set_learning_rate
 from ted_spad_tpu.utils.checkpoint import BestCheckpointer, save_checkpoint, save_temp
 
 
@@ -124,8 +124,8 @@ def train_reconstruction(
                 images, _ = train_source.get_batch(idx)
                 aug = sample_image_augment_params(rng, len(idx), src_size, p.reso_h, p.reso_w)
                 variables, opt_state, loss = train_step(variables, opt_state, jnp.asarray(images), aug.to_device())
-                losses.append(float(loss))
-            train_loss = float(np.mean(losses)) if losses else float("nan")
+                losses.append(loss)  # raw device scalar; synced once per epoch
+            train_loss = epoch_mean(losses)
             sched.update(train_loss)
             history["train_loss"].append(train_loss)
 
@@ -139,8 +139,8 @@ def train_reconstruction(
                         break
                     images, _ = val_source.get_batch(idx)
                     vl, *_ = eval_step(variables, jnp.asarray(images))
-                    vlosses.append(float(vl))
-                val_loss = float(np.mean(vlosses)) if vlosses else float("nan")
+                    vlosses.append(vl)
+                val_loss = epoch_mean(vlosses)
                 history["val_loss"].append(val_loss)
                 best.maybe_save(
                     val_loss, epoch, {"fa_model_state_dict": variables, "optimizer": None, "lr_counter": sched.patience_count}

@@ -29,7 +29,7 @@ from ted_spad_tpu.models import load_fa_model, load_fb_model
 from ted_spad_tpu.ops.augment import augment_batch, center_crop_resize
 from ted_spad_tpu.ops.losses import bce_with_logits_loss
 from ted_spad_tpu.ops.metrics import macro_average_precision, multilabel_prf1
-from ted_spad_tpu.stages.common import LRScheduler, make_optimizer, set_learning_rate
+from ted_spad_tpu.stages.common import LRScheduler, epoch_mean, make_optimizer, set_learning_rate
 from ted_spad_tpu.utils.checkpoint import BestCheckpointer, save_temp
 
 
@@ -126,8 +126,8 @@ def train_privacy(
                 variables, opt_state, loss = train_step(
                     variables, opt_state, jnp.asarray(batch.images), jnp.asarray(batch.labels), batch.params.to_device()
                 )
-                losses.append(float(loss))
-            train_loss = float(np.mean(losses)) if losses else float("nan")
+                losses.append(loss)  # raw device scalar; synced once per epoch
+            train_loss = epoch_mean(losses)
             sched.update(train_loss)
             history["train_loss"].append(train_loss)
 
@@ -137,14 +137,14 @@ def train_privacy(
                 val_source, p.v_batch_size, train=False, out_h=p.reso_h, out_w=p.reso_w, drop_last=False
             ):
                 vl, scores = eval_step(variables, jnp.asarray(batch.images), jnp.asarray(batch.labels))
-                vlosses.append(float(vl))
+                vlosses.append(vl)
                 all_scores.append(np.asarray(scores))
                 all_labels.append(batch.labels)
             scores = np.concatenate(all_scores)
             labels = np.concatenate(all_labels)
             cmap, per_class = macro_average_precision(labels, scores)
             prec, rec, f1 = multilabel_prf1(labels, scores)
-            history["val_loss"].append(float(np.mean(vlosses)))
+            history["val_loss"].append(epoch_mean(vlosses))
             history["cmap"].append(cmap)
             history["f1"].append(f1)
 

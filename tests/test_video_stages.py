@@ -43,6 +43,47 @@ class TestClipSamplers:
         assert val_clip_indices(300, 16, 2, 0, 5)[0] == 0
 
 
+class TestPalindromeRule:
+    """Short-clip palindrome completion (ucf101_dl.py:550-567; VERDICT r2 #6): reversed
+    frames complete the clip, not a frozen last frame."""
+
+    def test_completion_matches_reference_slice(self):
+        from ted_spad_tpu.data.videos import palindrome_complete
+
+        # 10-frame video, clip wants 16 at the halved skip 1: valid frames 0..9 (k=10),
+        # missing 6 -> reference appends full_clip[::-1][1:7] == frames [8,7,6,5,4,3].
+        out = palindrome_complete(np.arange(16), 10)
+        assert out.tolist() == list(range(10)) + [8, 7, 6, 5, 4, 3]
+
+    def test_full_clip_untouched_and_half_or_less_dropped(self):
+        from ted_spad_tpu.data.videos import palindrome_complete
+
+        np.testing.assert_array_equal(palindrome_complete(np.arange(16), 16), np.arange(16))
+        # k <= n/2: the reference's length assert fails -> clip dropped (None).
+        assert palindrome_complete(np.arange(16), 8) is None
+
+    def test_triplet_sampler_palindromes_short_videos(self, rng):
+        # 10 frames, 16 wanted: anchor tail must bounce (reversed), never clamp-repeat.
+        a, pos, neg = sample_triplet_clips(rng, 10, 16, 2)
+        assert a.tolist()[-6:] == [8, 7, 6, 5, 4, 3]
+        np.testing.assert_array_equal(a, pos)
+
+    def test_triplet_sampler_drops_too_short(self, rng):
+        with pytest.raises(ValueError, match="dropped"):
+            sample_triplet_clips(rng, 6, 16, 2)
+
+    def test_single_path_keeps_clamp(self, rng):
+        # single_* loaders have no palindrome block in the reference — clamp preserved.
+        idx = sample_train_clip(rng, 10, 16, 2)
+        assert idx[-1] == 9
+
+    def test_val_palindrome_gated_by_threecrop(self):
+        idx = val_clip_indices(10, 16, 2, 0, 5, palindrome=True)
+        assert idx.tolist()[-6:] == [8, 7, 6, 5, 4, 3]
+        idx_tc = val_clip_indices(10, 16, 2, 0, 5, palindrome=False)
+        assert idx_tc[-1] == 9
+
+
 class TestClipDatasets:
     def _params(self):
         return ActionParams(num_frames=4, fix_skip=2, reso_h=32, reso_w=32, num_classes=5, num_modes=2)
