@@ -136,6 +136,9 @@ class ActionParams(VideoParams):
 
     # Anonymized-eval variant (train_anonymized_action.py): run every clip through frozen fa.
     anonymized: bool = False
+    # Reproduce the reference's scrambled fa-input reshape in the anonymized paths
+    # (train_anonymized_action.py:47-58, val quirk train_anonymizer.py:240-243).
+    quirk_compat: bool = False
     saved_model_fa: str | None = None
     arch_fa: str = "unet++"
 
@@ -185,6 +188,12 @@ class AnonymizationParams(VideoParams):
     # Microbatch gradient accumulation inside the jitted fa step (memory for
     # reference-scale batches on one chip; see stages/anonymization_training.py).
     accum_steps: int = 1
+
+    # Rematerialization of fa/ft/fb activations in the adversarial backwards.
+    # "auto" (default): off when the traced batch is small enough to fit a v5e's
+    # HBM without it (measured: B=4 @ 16x224² fits and runs 16% faster un-remated,
+    # 276 vs 329 ms/step; B=8 OOMs) — "on"/"off" force it.
+    remat: str = "auto"
 
     # Reproduce the reference's scrambled fa-input reshape (train_anonymizer.py:86-92;
     # SURVEY §3.1 ⚠) inside the jitted steps — for feature-level A/B debugging against

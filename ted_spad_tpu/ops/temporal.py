@@ -22,13 +22,18 @@ def scrambled_frame_view(video: np.ndarray) -> np.ndarray:
     ``k // T`` at times ``(3m, 3m+1, 3m+2)`` where ``m = k % T_groups`` — i.e. the
     time-slice bundles the reference's reshape produces. The rebuild trains on clean RGB
     frames (documented divergence); this view exists to reproduce reference feature
-    tensors bit-for-bit when debugging against torch activations."""
+    tensors bit-for-bit when debugging against torch activations.
+
+    The reference's ``reshape(-1, 3, H, W)`` groups the flattened (C, T) axis into
+    3-slice bundles in linear order — when T % 3 != 0 (e.g. single 16-frame val
+    clips, train_anonymizer.py:240-243) bundles STRADDLE channel boundaries; only
+    C*T % 3 == 0 is required (always true for RGB)."""
     b, t, h, w, c = video.shape
-    assert t % 3 == 0 and c == 3, "quirk view needs T % 3 == 0 and RGB input"
+    assert (c * t) % 3 == 0 and c == 3, "quirk view needs RGB input"
     # (B, T, H, W, C) -> (B, C, T, H, W): the reference's permute(0,2,1,3,4) equivalent.
     perm = np.transpose(video, (0, 4, 1, 2, 3))
-    # reshape(-1, T', H, W) with T'=3-slice bundles, then treat bundle axis as 'channels'.
-    bundles = perm.reshape(b * c * (t // 3), 3, h, w)
+    # reshape(-1, 3, H, W): 3-slice bundles in (C, T) linear order.
+    bundles = perm.reshape(b * (c * t // 3), 3, h, w)
     return np.transpose(bundles, (0, 2, 3, 1))  # channels-last pseudo-frames
 
 
@@ -49,9 +54,9 @@ def scrambled_frame_view_jnp(video):
     import jax.numpy as jnp
 
     b, t, h, w, c = video.shape
-    assert t % 3 == 0 and c == 3, "quirk view needs T % 3 == 0 and RGB input"
+    assert (c * t) % 3 == 0 and c == 3, "quirk view needs RGB input"
     perm = jnp.transpose(video, (0, 4, 1, 2, 3))
-    bundles = perm.reshape(b * c * (t // 3), 3, h, w)
+    bundles = perm.reshape(b * (c * t // 3), 3, h, w)
     return jnp.transpose(bundles, (0, 2, 3, 1))
 
 

@@ -45,12 +45,24 @@ from ted_spad_tpu.stages.common import LRScheduler, epoch_mean, make_optimizer, 
 from ted_spad_tpu.utils.checkpoint import BestCheckpointer, load_checkpoint, restore_like, save_temp
 
 
-def _apply_fa_frames(fa_model, fa_vars, video: jnp.ndarray) -> jnp.ndarray:
-    """Frozen per-frame anonymization of (..., T, H, W, C) video (clean layout — see
-    ops/temporal.scrambled_frame_view for the reference's reshape quirk)."""
+def _apply_fa_frames(fa_model, fa_vars, video: jnp.ndarray, quirk: bool = False) -> jnp.ndarray:
+    """Frozen per-frame anonymization of (..., T, H, W, C) video. ``quirk`` reproduces
+    the reference's scrambled fa input (train_anonymized_action.py:47-58 and the val
+    path train_anonymizer.py:240-243): fa sees 3-slice (C,T)-linear bundles instead
+    of RGB frames; default is the clean layout (documented divergence)."""
     from ted_spad_tpu.ops.fast_unetpp import make_fast_fa_apply
 
     lead = video.shape[:-3]
+    if quirk and len(lead) == 2:
+        from ted_spad_tpu.ops.temporal import (
+            scrambled_frame_view_jnp,
+            unscrambled_frame_view_jnp,
+        )
+
+        b, t = lead
+        frames = scrambled_frame_view_jnp(video)
+        out = make_fast_fa_apply(fa_model, fa_vars)(fa_vars, frames, train=False)
+        return jax.lax.stop_gradient(unscrambled_frame_view_jnp(out, b, t))
     frames = video.reshape((-1,) + video.shape[-3:])
     out = make_fast_fa_apply(fa_model, fa_vars)(fa_vars, frames, train=False)
     return jax.lax.stop_gradient(out.reshape(lead + out.shape[-3:]))
@@ -67,7 +79,13 @@ def make_train_step(ft_model, optimizer, p: ActionParams, fa=None) -> Callable:
         flat = clips_u8.reshape((b * v,) + clips_u8.shape[2:])
         aug = augment_batch(flat, aug_params, p.reso_h, p.reso_w)  # (B*V, T, h, w, C)
         if fa is not None:
-            aug = _apply_fa_frames(fa[0], fa[1], aug)
+            if getattr(p, "quirk_compat", False):
+                # Views concat on T before the scrambled reshape (train_anonymizer.py:93).
+                tv = aug.reshape((b, v * aug.shape[1]) + aug.shape[2:])
+                tv = _apply_fa_frames(fa[0], fa[1], tv, quirk=True)
+                aug = tv.reshape((b * v,) + aug.shape[1:])
+            else:
+                aug = _apply_fa_frames(fa[0], fa[1], aug)
         aug = aug.reshape((b, v) + aug.shape[1:])
 
         def loss_fn(params):
@@ -126,14 +144,16 @@ def make_eval_step(
 
     ft_forward = make_fast_ft_forward(ft_model)  # s2d fast stem; module fallback
 
+    quirk = getattr(p, "quirk_compat", False)
+
     def one_view(variables, img, hflip, fa_vars):
         if hflip:
             img = img[..., :, ::-1, :]
         view = img
         if fa is not None:
-            view = _apply_fa_frames(fa[0], fa[1], view)
+            view = _apply_fa_frames(fa[0], fa[1], view, quirk=quirk)
         elif fa_model is not None and fa_vars is not None:
-            view = _apply_fa_frames(fa_model, fa_vars, view)
+            view = _apply_fa_frames(fa_model, fa_vars, view, quirk=quirk)
         logits, _ = ft_forward(variables, view, train=False)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 

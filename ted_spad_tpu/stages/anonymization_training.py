@@ -109,24 +109,26 @@ def _anon_frames(fa_model, fa_vars, video, train: bool, rng=None, remat: bool = 
     return out.reshape(lead + out.shape[-3:]), None
 
 
-def _ft_losses(ft_model, ft_vars, anon_clips, labels, p: AnonymizationParams, train: bool, rng=None):
+def _ft_losses(ft_model, ft_vars, anon_clips, labels, p: AnonymizationParams, train: bool, rng=None,
+               remat: bool = True):
     """CE + weighted triplet over the anonymized (B, 3, T, h, w, C) views
     (train_anonymizer.py:99-116). One batched ft forward over all views."""
     b, v = anon_clips.shape[:2]
     flat = anon_clips.reshape((b * v,) + anon_clips.shape[2:])
     kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
+    ckpt = jax.checkpoint if remat else (lambda f: f)
     if train:
         def apply_fn(variables, x):
             return ft_model.apply(variables, x, train=True, mutable=["batch_stats"], **kwargs)
 
-        (logits, emb), mutated = jax.checkpoint(apply_fn)(ft_vars, flat)
+        (logits, emb), mutated = ckpt(apply_fn)(ft_vars, flat)
     else:
         from ted_spad_tpu.ops.fast_i3d import make_fast_ft_forward
 
         # Frozen ft: eval-mode forward with the s2d fast stem (gradients still flow
         # through the anonymized clips to fa — the stem re-binning is exact).
         ft_forward = make_fast_ft_forward(ft_model)
-        logits, emb = jax.checkpoint(
+        logits, emb = ckpt(
             lambda variables, x: ft_forward(variables, x, train=False)
         )(ft_vars, flat)
         mutated = None
@@ -141,10 +143,12 @@ def _ft_losses(ft_model, ft_vars, anon_clips, labels, p: AnonymizationParams, tr
     return loss_cls + p.temporal_loss_weight * loss_temporal, loss_temporal, mutated
 
 
-def _fb_loss(fb_model, fb_vars, anon_pair, p: AnonymizationParams, train: bool):
+def _fb_loss(fb_model, fb_vars, anon_pair, p: AnonymizationParams, train: bool,
+             remat: bool = True):
     """NT-Xent over the two anonymized VISPR views (train_anonymizer.py:78-84)."""
+    ckpt = jax.checkpoint if remat else (lambda f: f)
     if train:
-        apply_fn = jax.checkpoint(
+        apply_fn = ckpt(
             lambda variables, x: fb_model.apply(variables, x, train=True, mutable=["batch_stats"])
         )
         z1, m1 = apply_fn(fb_vars, anon_pair[0])
@@ -155,6 +159,19 @@ def _fb_loss(fb_model, fb_vars, anon_pair, p: AnonymizationParams, train: bool):
         z2 = fb_model.apply(fb_vars, anon_pair[1], train=False)
         mutated = None
     return nt_xent_loss(z1, z2, p.nt_xent_temperature, p.nt_xent_cosine), mutated
+
+
+def _resolve_remat(p: AnonymizationParams, clips, vispr1) -> bool:
+    """p.remat='auto': skip rematerialization when the traced batch fits HBM
+    without it — measured on a 16 GB v5e: B=4 @ 3 views x 16 frames x 224² (+12
+    VISPR pairs) fits and runs ~16% faster (276 vs 329 ms/step); B=8 OOMs. The
+    12M frame-pixel threshold is the measured-fits point."""
+    if p.remat == "on":
+        return True
+    if p.remat == "off":
+        return False
+    frames = clips.shape[0] * clips.shape[1] * clips.shape[2] + 2 * vispr1.shape[0]
+    return frames * clips.shape[-3] * clips.shape[-2] > 12_000_000
 
 
 def make_fa_step(
@@ -170,13 +187,15 @@ def make_fa_step(
         if accum_steps > 1:
             return _fa_step_accum(fa_vars, opt_state, fb_vars, ft_vars, rng, vispr1, vispr2, clips, labels)
 
+        remat = _resolve_remat(p, clips, vispr1)
+
         def loss_fn(fa_params):
             vars_in = {**fa_vars, "params": fa_params}
-            anon_v1, m1 = _anon_frames(fa_model, vars_in, vispr1[:, None], train=True)
-            anon_v2, m2 = _anon_frames(fa_model, {**vars_in, **m1}, vispr2[:, None], train=True)
-            loss_fb, _ = _fb_loss(fb_model, fb_vars, (anon_v1[:, 0], anon_v2[:, 0]), p, train=False)
-            anon_clips, m3 = _anon_frames(fa_model, {**vars_in, **m2}, clips, train=True, quirk=p.quirk_compat)
-            loss_ft, loss_temporal, _ = _ft_losses(ft_model, ft_vars, anon_clips, labels, p, train=False)
+            anon_v1, m1 = _anon_frames(fa_model, vars_in, vispr1[:, None], train=True, remat=remat)
+            anon_v2, m2 = _anon_frames(fa_model, {**vars_in, **m1}, vispr2[:, None], train=True, remat=remat)
+            loss_fb, _ = _fb_loss(fb_model, fb_vars, (anon_v1[:, 0], anon_v2[:, 0]), p, train=False, remat=remat)
+            anon_clips, m3 = _anon_frames(fa_model, {**vars_in, **m2}, clips, train=True, quirk=p.quirk_compat, remat=remat)
+            loss_ft, loss_temporal, _ = _ft_losses(ft_model, ft_vars, anon_clips, labels, p, train=False, remat=remat)
             loss_fa = -p.fb_loss_weight * loss_fb + p.ft_loss_weight * loss_ft
             return loss_fa, (m3, loss_fb, loss_ft, loss_temporal)
 
@@ -193,13 +212,15 @@ def make_fa_step(
         mb = lambda x: x.reshape((n, x.shape[0] // n) + x.shape[1:])
         micro = (mb(vispr1), mb(vispr2), mb(clips), mb(labels))
 
+        remat = _resolve_remat(p, clips[: clips.shape[0] // n], vispr1[: vispr1.shape[0] // n])
+
         def loss_fn(fa_params, batch_stats, mv1, mv2, mclips, mlabels):
             vars_in = {**fa_vars, "params": fa_params, **batch_stats}
-            anon_v1, m1 = _anon_frames(fa_model, vars_in, mv1[:, None], train=True)
-            anon_v2, m2 = _anon_frames(fa_model, {**vars_in, **m1}, mv2[:, None], train=True)
-            loss_fb, _ = _fb_loss(fb_model, fb_vars, (anon_v1[:, 0], anon_v2[:, 0]), p, train=False)
-            anon_clips, m3 = _anon_frames(fa_model, {**vars_in, **m2}, mclips, train=True, quirk=p.quirk_compat)
-            loss_ft, loss_temporal, _ = _ft_losses(ft_model, ft_vars, anon_clips, mlabels, p, train=False)
+            anon_v1, m1 = _anon_frames(fa_model, vars_in, mv1[:, None], train=True, remat=remat)
+            anon_v2, m2 = _anon_frames(fa_model, {**vars_in, **m1}, mv2[:, None], train=True, remat=remat)
+            loss_fb, _ = _fb_loss(fb_model, fb_vars, (anon_v1[:, 0], anon_v2[:, 0]), p, train=False, remat=remat)
+            anon_clips, m3 = _anon_frames(fa_model, {**vars_in, **m2}, mclips, train=True, quirk=p.quirk_compat, remat=remat)
+            loss_ft, loss_temporal, _ = _ft_losses(ft_model, ft_vars, anon_clips, mlabels, p, train=False, remat=remat)
             loss_fa = -p.fb_loss_weight * loss_fb + p.ft_loss_weight * loss_ft
             return loss_fa, (m3, loss_fb, loss_ft, loss_temporal)
 
@@ -232,17 +253,18 @@ def make_fbft_step(fa_model, fb_model, ft_model, opt_fb, opt_ft, p: Anonymizatio
         fa_vars, fb_vars, ft_vars, opt_fb_state, opt_ft_state, rng, vispr1, vispr2, clips, labels
     ):
         # Frozen fa (eval + stop_gradient), train_anonymizer.py:142-148.
-        anon_v1, _ = _anon_frames(fa_model, fa_vars, vispr1[:, None], train=False)
-        anon_v2, _ = _anon_frames(fa_model, fa_vars, vispr2[:, None], train=False)
+        remat = _resolve_remat(p, clips, vispr1)
+        anon_v1, _ = _anon_frames(fa_model, fa_vars, vispr1[:, None], train=False, remat=remat)
+        anon_v2, _ = _anon_frames(fa_model, fa_vars, vispr2[:, None], train=False, remat=remat)
         anon_clips, _ = _anon_frames(fa_model, fa_vars, clips, train=False, quirk=p.quirk_compat)
         anon_v1, anon_v2, anon_clips = map(jax.lax.stop_gradient, (anon_v1, anon_v2, anon_clips))
 
         def loss_fn(both_params):
             fb_in = {**fb_vars, "params": both_params["fb"]}
             ft_in = {**ft_vars, "params": both_params["ft"]}
-            loss_fb, m_fb = _fb_loss(fb_model, fb_in, (anon_v1[:, 0], anon_v2[:, 0]), p, train=True)
+            loss_fb, m_fb = _fb_loss(fb_model, fb_in, (anon_v1[:, 0], anon_v2[:, 0]), p, train=True, remat=remat)
             loss_ft, loss_temporal, m_ft = _ft_losses(
-                ft_model, ft_in, anon_clips, labels, p, train=True, rng=rng
+                ft_model, ft_in, anon_clips, labels, p, train=True, rng=rng, remat=remat
             )
             # Parameter-disjoint sum: d(loss)/d(fb) == d(loss_fb)/d(fb), same for ft —
             # one backward drives both optimizers (separate backwards in the reference,

@@ -105,3 +105,53 @@ def test_extract_step_quirk_compat():
         ft_vars, jnp.asarray(scrambled), train=False, method="extract_features"
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_straddling_bundles_match_torch_reshape():
+    """T % 3 != 0 (single 16-frame val clips): the reference's reshape(-1, 3, H, W)
+    makes bundles straddle channel boundaries — verify against a numpy emulation of
+    the torch memory reinterpretation."""
+    rng = np.random.default_rng(5)
+    b, t, h, w = 2, 16, 4, 5
+    video = rng.standard_normal((b, t, h, w, 3)).astype(np.float32)
+    got = scrambled_frame_view(video)
+    perm = video.transpose(0, 4, 1, 2, 3)  # (B, C, T, H, W) torch layout
+    ref = perm.reshape(-1, 3, h, w).transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(got, ref)
+    # jnp agrees; round trip restores.
+    np.testing.assert_array_equal(
+        np.asarray(scrambled_frame_view_jnp(jnp.asarray(video))), ref
+    )
+    back = unscrambled_frame_view(got, b, t)
+    np.testing.assert_array_equal(back, video)
+
+
+def test_eval_step_quirk_matches_reference_val_layout():
+    """make_eval_step with quirk_compat scrambles the single val clip's fa input
+    (train_anonymizer.py:240-243) — verify vs manual composition."""
+    from ted_spad_tpu.config.params import ActionParams
+    from ted_spad_tpu.models import load_fa_model, load_ft_model
+    from ted_spad_tpu.ops.augment import center_crop_resize
+    from ted_spad_tpu.stages.action_training import make_eval_step
+
+    fa_model, fa_vars = load_fa_model(image_size=(32, 32), dtype="float32")
+    ft_model, ft_vars = load_ft_model(
+        "largei3d", num_classes=5, clip_shape=(4, 32, 32), dtype="float32"
+    )
+    p = ActionParams(num_frames=4, reso_h=32, reso_w=32, compute_dtype="float32",
+                     quirk_compat=True)
+    eval_step = make_eval_step(ft_model, p, fa_model=fa_model)
+
+    rng = np.random.default_rng(6)
+    clips = jnp.asarray(rng.integers(0, 255, (2, 1, 4, 40, 40, 3), dtype=np.uint8))
+    probs = eval_step(ft_vars, clips, 0.8, False, fa_vars=fa_vars)
+
+    img = center_crop_resize(clips[:, 0].astype(jnp.float32) / 255.0, 0.8, 32, 32)
+    scr = scrambled_frame_view_jnp(img)
+    anon = fa_model.apply(fa_vars, scr, train=False)
+    from ted_spad_tpu.ops.temporal import unscrambled_frame_view_jnp
+
+    view = unscrambled_frame_view_jnp(anon, 2, 4)
+    logits, _ = ft_model.apply(ft_vars, view, train=False)
+    ref = jax.nn.softmax(np.asarray(logits, np.float32), axis=-1)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref), rtol=2e-3, atol=2e-3)
