@@ -32,8 +32,9 @@ problem: DALI decoded on GPU NVDEC at GPU pace, dali_extraction.py:53-81).
 ``detail.adversarial_fa_step_ms`` / ``adversarial_fbft_step_ms`` /
 ``action_train_step_ms``: honest device time for the training hot loops
 (train_anonymizer.py:32-197; train_action.py:28-105) at reference shape (16 frames,
-224², bf16, remat) — so training-throughput regressions are driver-visible, not
-doc-only.
+224², bf16). Remat follows the production default ``remat='auto'`` — resolved OFF
+at this B=4 scale (detail.adversarial_remat records the resolved value) — so the
+metric tracks what the driver actually runs, not a fixed remat configuration.
 
 ``detail.mfu``: analytic-FLOP model-flops-utilization of the fused extraction
 program (XLA cost analysis over the compiled HLO / assumed peak for the device
@@ -48,6 +49,19 @@ import tempfile
 import time
 
 import numpy as np
+
+
+def tree_sum(t):
+    """f32 sum over a pytree's array leaves — timing wrappers return this over the
+    UPDATED params so XLA cannot dead-code the optimizer update inside the loop."""
+    import jax
+    import jax.numpy as jnp
+
+    return sum(
+        x.astype(jnp.float32).sum()
+        for x in jax.tree_util.tree_leaves(t)
+        if hasattr(x, "dtype")
+    )
 
 
 def device_ms_per_call(fn, args, iters: int) -> float:
@@ -155,8 +169,9 @@ def main() -> None:
 
     # --- Training-step device time at reference shape (VERDICT r3 #2) -------------
     # fa adversarial update + fused fb/ft update (train_anonymizer.py:32-197) at
-    # B=4 videos x 3 views x 16 frames @ 224² bf16 with remat (COMPONENTS.md scale),
-    # VISPR pair batch 6 (half the reference's 12, matching half of B=8).
+    # B=4 videos x 3 views x 16 frames @ 224² bf16 (COMPONENTS.md scale), VISPR pair
+    # batch 6 (half the reference's 12, matching half of B=8). remat='auto' resolves
+    # OFF at this size (fits HBM; ~16% faster) — recorded in detail.
     try:
         from ted_spad_tpu.config.params import AnonymizationParams
         from ted_spad_tpu.models import load_fb_model
@@ -181,15 +196,8 @@ def main() -> None:
         vbb = jax.random.uniform(jax.random.PRNGKey(1), (vb, 224, 224, 3), jnp.bfloat16)
         tlabels = jnp.zeros((bt,), jnp.int32)
 
-        def tree_sum(t):
-            return sum(
-                x.astype(jnp.float32).sum()
-                for x in jax.tree_util.tree_leaves(t)
-                if hasattr(x, "dtype")
-            )
-
-        # Timing wrappers return one scalar that depends on the UPDATED params, so
-        # XLA cannot dead-code the optimizer update inside the timing loop.
+        # Timing wrappers return one scalar that depends on the UPDATED params
+        # (module-level tree_sum), so XLA cannot dead-code the optimizer update.
         def fa_once(v1, v2, c, lab):
             new_fa, _, lfa, *_ = fa_step(fa_vars, st_fa, fb_vars, ft_vars, key, v1, v2, c, lab)
             return tree_sum(new_fa["params"]) + lfa
@@ -207,6 +215,9 @@ def main() -> None:
             device_ms_per_call(fbft_once, (va, vbb, tr_clips, tlabels), iters=4), 1
         )
         detail_top["adversarial_batch"] = bt
+        from ted_spad_tpu.stages.anonymization_training import _resolve_remat
+
+        detail_top["adversarial_remat"] = bool(_resolve_remat(ap, tr_clips, va))
     except Exception as e:  # noqa: BLE001
         detail_top["adversarial_step_error"] = repr(e)
 
@@ -232,14 +243,6 @@ def main() -> None:
 
         def act_once(c, lab):
             new_vars, _, loss = act_step(ft_vars, st_act, jax.random.PRNGKey(3), c, lab, a_aug)
-
-            def tree_sum(t):
-                return sum(
-                    x.astype(jnp.float32).sum()
-                    for x in jax.tree_util.tree_leaves(t)
-                    if hasattr(x, "dtype")
-                )
-
             return tree_sum(new_vars["params"]) + loss
 
         detail_top["action_train_step_ms"] = round(
@@ -273,7 +276,7 @@ def main() -> None:
             t0 = time.perf_counter()
             res = extract_features(
                 p, uris, out_dir, fa_variables=fa_vars, ft_variables=ft_vars,
-                batch_size=batch, log_fn=lambda *_: None,
+                batch_size=batch, num_workers=16, log_fn=lambda *_: None,
             )
             e2e_s = time.perf_counter() - t0
             detail["e2e_clips_per_sec"] = round(res["clips"] / max(e2e_s, 1e-9), 3)
@@ -292,7 +295,7 @@ def main() -> None:
             res_yuv = extract_features(
                 p, uris, os.path.join(tmp, "feats_yuv"), fa_variables=fa_vars,
                 ft_variables=ft_vars, batch_size=batch, decode_mode="yuv",
-                log_fn=lambda *_: None,
+                num_workers=16, log_fn=lambda *_: None,
             )
             detail["e2e_yuv_clips_per_sec"] = round(
                 res_yuv["clips"] / max(time.perf_counter() - t0, 1e-9), 3

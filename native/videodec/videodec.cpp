@@ -291,11 +291,24 @@ int vd_width(void* h) { return static_cast<Decoder*>(h)->out_w; }
 int vd_height(void* h) { return static_cast<Decoder*>(h)->out_h; }
 
 // Gather frames at sorted `indices` (n of them) into out (n, out_h, out_w, 3) uint8.
+// Returns frames written (< n at EOF — the caller pads), or -1 if an RGB conversion
+// failed mid-read: a short count would be indistinguishable from benign EOF and the
+// caller would silently pad frozen frames over corrupt data (same contract as the
+// YUV reader).
 int64_t vd_read_indices(void* h, const int64_t* indices, int64_t n, uint8_t* out) {
   auto dec = static_cast<Decoder*>(h);
   const int64_t frame_bytes = static_cast<int64_t>(dec->out_w) * dec->out_h * 3;
-  return gather_indices(dec, indices, n,
-                        [&](int64_t slot) { return to_rgb(dec, out + slot * frame_bytes); });
+  bool failed = false;
+  int64_t written = gather_indices(dec, indices, n, [&](int64_t slot) {
+    int r = to_rgb(dec, out + slot * frame_bytes);
+    if (r < 0) failed = true;
+    return r;
+  });
+  if (failed) {
+    g_last_error = "rgb conversion failed (sws_scale short output)";
+    return -1;
+  }
+  return written;
 }
 
 // Sequential strided read: frames start, start+stride, ... (n frames) into out.

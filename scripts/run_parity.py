@@ -309,7 +309,19 @@ def run_parity(args) -> dict:
     fm.ABNORMAL_SPLIT["UCF"] = abnormal_split
     try:
         for branch in ("raw", "anon"):
-            paths = [feats[branch]["saved"][u] for u in crime_uris if u in feats[branch]["saved"]]
+            # gt is per-video frame labels concatenated in crime_uris order — the
+            # feature list MUST stay aligned with it. Resumed artifacts come back in
+            # ``existing``; a video missing from both (undecodable, skipped) would
+            # silently shift every later video's labels, so refuse to score.
+            available = {**feats[branch].get("existing", {}), **feats[branch]["saved"]}
+            missing = [u for u in crime_uris if u not in available]
+            if missing:
+                raise RuntimeError(
+                    f"{branch}: {len(missing)} video(s) have no features (skipped or "
+                    f"failed: {missing[:3]}...) — gt alignment would break; fix or "
+                    "drop them from BOTH the video list and the gt before scoring"
+                )
+            paths = [available[u] for u in crime_uris]
             lst = os.path.join(save, f"parity_{branch}.list")
             open(lst, "w").write("\n".join(paths) + "\n")
             mp = MGFNParams(rgb_list=lst, test_rgb_list=lst, feature_size=2048,

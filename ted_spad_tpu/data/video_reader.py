@@ -139,6 +139,12 @@ class VideoReader:
             len(idx),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
+        if n < 0:
+            # Conversion failure (not EOF): surface it so the loaders' corrupt-video
+            # tolerance can skip the file instead of padding frozen garbage frames.
+            raise IOError(
+                f"rgb read failed for {self.path}: {self._lib.vd_last_error().decode()}"
+            )
         if n < len(idx):
             # EOF short-read: pad with the last decoded frame (the loaders apply their
             # own padding policies on top, ucf101_dl.py:550-567). A zero-frame read

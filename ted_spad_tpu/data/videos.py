@@ -338,10 +338,18 @@ class ValClipDataset:
     def _load_one(self, item: VideoItem) -> np.ndarray | None:
         try:
             vr = open_video(item.uri, self.decode_w, self.decode_h)
+            # Loader selection follows the reference (train_action.py:335-339,
+            # train_anonymizer.py:464-467): the CONTRASTIVE val loader — the one with
+            # the palindrome rule (ucf101_dl.py:823-833, skipped under threecrop) —
+            # is used iff loss=='con' or temporal_loss=='trip'; plain CE validation
+            # uses single_val_dataloader, which clamps.
+            contrastive = (
+                getattr(self.p, "loss", None) == "con"
+                or getattr(self.p, "temporal_loss", None) == "trip"
+            )
             idx = val_clip_indices(
                 len(vr), self.p.num_frames, self.p.fix_skip, self.mode, self.p.num_modes,
-                # contrastive-val palindrome, skipped under threecrop (ucf101_dl.py:823-833)
-                palindrome=not getattr(self.p, "three_crop", False),
+                palindrome=contrastive and not getattr(self.p, "three_crop", False),
             )
             clip = vr.get_batch(idx)
             vr.close()

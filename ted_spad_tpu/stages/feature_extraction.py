@@ -252,9 +252,8 @@ def make_extract_step(
                 # (B, T, C) memory as (B, C, T) before ft.
                 from ted_spad_tpu.ops.temporal import extraction_return_scramble_jnp
 
-                scrambled = extraction_return_scramble_jnp(
-                    anon, int(np.prod(lead[:-1])) if len(lead) > 1 else lead[0], lead[-1]
-                )
+                b_lead = int(np.prod(lead[:-1])) if len(lead) > 1 else 1
+                scrambled = extraction_return_scramble_jnp(anon, b_lead, lead[-1])
                 img = scrambled.reshape(lead + scrambled.shape[-3:])
             else:
                 img = anon.reshape(lead + anon.shape[-3:])
@@ -308,7 +307,6 @@ def extract_features(
     if decode_mode == "yuv" and p.no_ar_distortion:
         raise ValueError("decode_mode='yuv' does not support no_ar_distortion; use 'rgb'")
     os.makedirs(save_dir, exist_ok=True)
-    uris = [u for i, u in enumerate(video_uris) if i % num_shards == shard_id]
 
     def base_name(uri: str) -> str:
         return os.path.basename(uri).rsplit(".", 1)[0].replace("synthetic://", "synth_").replace(
@@ -318,12 +316,14 @@ def extract_features(
     # Same-basename videos in different directories (fine for UCF-Crime naming, which
     # is unique) would silently clobber each other's .npy; disambiguate duplicates
     # with a short uri hash so every input maps to a distinct, deterministic output.
+    # Computed over the FULL list before sharding — cross-shard duplicates must also
+    # disambiguate (each shard sees only its slice).
     names: dict[str, str] = {}
     seen: dict[str, int] = {}
-    for u in uris:
+    for u in video_uris:
         b = base_name(u)
         seen[b] = seen.get(b, 0) + 1
-    for u in uris:
+    for u in video_uris:
         b = base_name(u)
         if seen[b] > 1:
             import hashlib
@@ -334,9 +334,15 @@ def extract_features(
     def out_path(uri: str) -> str:
         return os.path.join(save_dir, names[uri] + ".npy")
 
-    uris = [u for u in uris if not os.path.exists(out_path(u))]
+    uris = [u for i, u in enumerate(video_uris) if i % num_shards == shard_id]
+    # Resume-by-skip (dali_extraction.py:121): already-extracted artifacts are
+    # reported in ``existing`` so callers (e.g. run_parity) can keep list/gt
+    # alignment across resumed runs.
+    existing = {u: out_path(u) for u in uris if os.path.exists(out_path(u))}
+    uris = [u for u in uris if u not in existing]
     if not uris:
-        return {"saved": {}, "skipped": {}, "clips": 0, "elapsed_s": 0.0, "clips_per_sec": 0.0}
+        return {"saved": {}, "existing": existing, "skipped": {}, "clips": 0,
+                "elapsed_s": 0.0, "clips_per_sec": 0.0}
 
     fa = None
     if p.anonymized:
@@ -412,5 +418,5 @@ def extract_features(
     log_fn(f"extracted {n_clips} clips from {len(saved)} videos in {elapsed:.1f}s "
            f"({n_clips / max(elapsed, 1e-9):.2f} clips/s)"
            + (f"; skipped {len(skipped)} undecodable" if skipped else ""))
-    return {"saved": saved, "skipped": skipped, "clips": n_clips, "elapsed_s": elapsed,
-            "clips_per_sec": n_clips / max(elapsed, 1e-9)}
+    return {"saved": saved, "existing": existing, "skipped": skipped, "clips": n_clips,
+            "elapsed_s": elapsed, "clips_per_sec": n_clips / max(elapsed, 1e-9)}

@@ -235,3 +235,43 @@ def test_run_parity_dry_run_chain(tmp_path):
     on_disk = json.load(open(tmp_path / "parity_report.json"))
     assert on_disk["cmap_delta_target_pct"] == -32.25
     assert on_disk["auc_delta_target_pts"] == -3.69
+
+
+def test_cross_shard_same_basename_disambiguated(tmp_path):
+    """Dedup must be computed over the FULL uri list before sharding — shard-local
+    counting would let cross-shard same-basename videos clobber one output."""
+    from ted_spad_tpu.data.video_reader import native_available, write_mp4
+    from ted_spad_tpu.stages.feature_extraction import extract_features
+
+    if not native_available():
+        pytest.skip("native videodec unavailable")
+    rng = np.random.default_rng(0)
+    uris = []
+    for sub in ("a", "b"):
+        d = tmp_path / sub
+        d.mkdir()
+        write_mp4(str(d / "x.mp4"), rng.integers(0, 255, (24, 48, 64, 3), dtype=np.uint8))
+        uris.append(str(d / "x.mp4"))
+    p = FeatureExtractionParams(num_frames=8, fix_skip=2, batch_size=4, reso_h=32,
+                                reso_w=32, anonymized=False, compute_dtype="float32")
+    outs = []
+    for shard in (0, 1):
+        res = extract_features(p, uris, str(tmp_path / "feats"), decode_hw=(48, 64),
+                               shard_id=shard, num_shards=2, log_fn=lambda s: None)
+        outs.extend(res["saved"].values())
+    assert len(set(outs)) == 2  # distinct hash-suffixed paths, no clobber
+
+
+def test_resume_reports_existing(tmp_path):
+    """Re-running extraction returns already-extracted artifacts in ``existing`` so
+    chained consumers (run_parity) keep list/gt alignment across resumes."""
+    from ted_spad_tpu.stages.feature_extraction import extract_features
+
+    p = FeatureExtractionParams(num_frames=8, fix_skip=2, batch_size=4, reso_h=32,
+                                reso_w=32, anonymized=False, compute_dtype="float32")
+    uris = [f"synthetic://n=80,h=48,w=64,seed={i}" for i in range(2)]
+    r1 = extract_features(p, uris, str(tmp_path / "f"), decode_hw=(48, 64), log_fn=lambda s: None)
+    r2 = extract_features(p, uris, str(tmp_path / "f"), decode_hw=(48, 64), log_fn=lambda s: None)
+    assert len(r1["saved"]) == 2 and r1["existing"] == {}
+    assert r2["clips"] == 0 and set(r2["existing"]) == set(uris)
+    assert set(r2["existing"].values()) == set(r1["saved"].values())
