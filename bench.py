@@ -252,6 +252,90 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         detail_top["action_step_error"] = repr(e)
 
+    # --- Remaining stage hot loops: privacy (fb), reconstruction (fa), MGFN -------
+    # Together with the three metrics above this covers every training stage's
+    # jitted step (train_privacy.py:29-68; train_reconstruction.py:26-59;
+    # anomaly_detection_mgfn/train.py:79-108) at reference batch sizes.
+    try:
+        from ted_spad_tpu.config.params import PrivacyParams
+        from ted_spad_tpu.models import load_fb_model as _load_fb
+        from ted_spad_tpu.ops.augment import sample_augment_params as _sap
+        from ted_spad_tpu.stages.common import make_optimizer as _mk_opt2
+        from ted_spad_tpu.stages.privacy_training import make_steps as _privacy_steps
+
+        pv = PrivacyParams()  # batch 32, 7 attrs, lr 1e-3 (params_privacy.py)
+        fbp_model, fbp_vars = _load_fb(
+            "r50", num_pa=pv.num_pa, ssl=False, image_size=(224, 224), dtype="bfloat16"
+        )
+        opt_pv = _mk_opt2("adam", pv.learning_rate)
+        st_pv = opt_pv.init(fbp_vars["params"])
+        pv_step, _ = _privacy_steps(fbp_model, None, opt_pv, (224, 224))
+        pv_imgs = jnp.asarray(rng.integers(0, 255, (32, 256, 340, 3), dtype=np.uint8))
+        pv_labels = jnp.asarray(rng.integers(0, 2, (32, pv.num_pa)).astype(np.float32))
+        pv_aug = _sap(np.random.default_rng(1), 32, 256, 340, 224, 224).to_device()
+
+        def pv_once(im, lab):
+            nv, _, loss = pv_step(fbp_vars, st_pv, im, lab, pv_aug)
+            return tree_sum(nv["params"]) + loss
+
+        detail_top["privacy_train_step_ms"] = round(
+            device_ms_per_call(pv_once, (pv_imgs, pv_labels), iters=8), 1
+        )
+    except Exception as e:  # noqa: BLE001
+        detail_top["privacy_step_error"] = repr(e)
+
+    try:
+        from ted_spad_tpu.config.params import ReconstructionParams
+        from ted_spad_tpu.ops.augment import sample_augment_params as _sap
+        from ted_spad_tpu.stages.common import make_optimizer as _mk_opt3
+        from ted_spad_tpu.stages.fa_pretraining import make_train_step as _recon_factory
+
+        rp = ReconstructionParams()  # batch 32, lr 1e-3 (fa_pretraining/parameters.py)
+        opt_rc = _mk_opt3("adam", rp.learning_rate)
+        st_rc = opt_rc.init(fa_vars["params"])
+        rc_step = _recon_factory(fa_model, opt_rc, (224, 224))
+        rc_imgs = jnp.asarray(rng.integers(0, 255, (32, 256, 340, 3), dtype=np.uint8))
+        rc_aug = _sap(np.random.default_rng(2), 32, 256, 340, 224, 224).to_device()
+
+        def rc_once(im):
+            nv, _, loss = rc_step(fa_vars, st_rc, im, rc_aug)
+            return tree_sum(nv["params"]) + loss
+
+        detail_top["recon_train_step_ms"] = round(
+            device_ms_per_call(rc_once, (rc_imgs,), iters=8), 1
+        )
+    except Exception as e:  # noqa: BLE001
+        detail_top["recon_step_error"] = repr(e)
+
+    try:
+        from ted_spad_tpu.config.params import MGFNParams
+        from ted_spad_tpu.models import load_mgfn_model
+        from ted_spad_tpu.stages.anomaly_detection import (
+            make_optimizer as _mgfn_opt,
+            make_train_step as _mgfn_factory,
+        )
+
+        mp = MGFNParams()  # UCF preset: 2048-d features, B=16+16, ncrops 10
+        mgfn_model, mgfn_vars = load_mgfn_model(mp, ncrops=10)
+        opt_mg = _mgfn_opt(mp)
+        st_mg = opt_mg.init(mgfn_vars["params"])
+        mg_step = _mgfn_factory(mgfn_model, opt_mg, mp)
+        r2 = np.random.default_rng(3)
+        nfeat = jnp.asarray(r2.random((16, 10, 32, 2049), np.float32))
+        afeat = jnp.asarray(r2.random((16, 10, 32, 2049), np.float32))
+        nlab = jnp.zeros((16,), jnp.float32)
+        alab = jnp.ones((16,), jnp.float32)
+
+        def mg_once(nf, af):
+            nv, _, loss = mg_step(mgfn_vars, st_mg, jax.random.PRNGKey(5), nf, nlab, af, alab)
+            return tree_sum(nv["params"]) + loss
+
+        detail_top["mgfn_train_step_ms"] = round(
+            device_ms_per_call(mg_once, (nfeat, afeat), iters=8), 1
+        )
+    except Exception as e:  # noqa: BLE001
+        detail_top["mgfn_step_error"] = repr(e)
+
     # --- Decode-inclusive end-to-end (native C++ decode -> device program) ---------
     detail: dict = {}
     try:
