@@ -9,7 +9,9 @@ import pytest
 from ted_spad_tpu.config.params import (
     ActionParams,
     AnonymizationParams,
+    FeatureExtractionParams,
     PrivacyParams,
+    ReconstructionParams,
     apply_params_file,
 )
 
@@ -40,6 +42,39 @@ def test_overlay_reference_action_params():
 def test_overlay_reference_privacy_params():
     p = apply_params_file(PrivacyParams(), f"{REF}/privacy_training/params_privacy.py")
     assert p.num_pa == 7
+
+
+@needs_ref
+def test_overlay_reference_anonymized_action_params():
+    p = apply_params_file(
+        ActionParams(), f"{REF}/action_training/params_anonymized_action.py"
+    )
+    assert p.run_id == "baseline_anonymized_action"
+    assert p.arch == "largei3d" or p.num_classes == 102  # arch field name differs; classes carry
+    assert p.learning_rate == pytest.approx(1e-4)
+    assert p.lr_scheduler == "cosine"
+    assert p.cropping_facs == [0.8]
+
+
+@needs_ref
+def test_overlay_reference_feature_extraction_params():
+    p = apply_params_file(
+        FeatureExtractionParams(), f"{REF}/feature_extraction/params_feature_ex.py"
+    )
+    assert p.num_frames == 16 and p.fix_skip == 2
+    assert p.cropping_factor == pytest.approx(0.8)
+    assert p.no_ar_distortion is False
+    # The reference extracts one clip per step (params_feature_ex.py batch_size=1);
+    # the overlay must carry it even though our default is the batched value.
+    assert p.batch_size == 1
+
+
+@needs_ref
+def test_overlay_reference_reconstruction_params():
+    p = apply_params_file(ReconstructionParams(), f"{REF}/fa_pretraining/parameters.py")
+    assert p.batch_size == 32
+    assert p.learning_rate == pytest.approx(1e-3)
+    assert p.warmup == 5 and p.scheduled_drop == 5
 
 
 def test_overlay_missing_file_is_noop():
