@@ -218,9 +218,22 @@ def run_parity(args) -> dict:
             recon_paths += sorted(glob.glob(os.path.join(args.ucf101_frames, "*", "*.jpg")))
         recon_train = ReconstructionSource(image_paths=recon_paths)
         recon_val = recon_train
-        crime_uris = sorted(glob.glob(args.crime_glob))
-        crime_gt = np.load(args.crime_gt) if args.crime_gt else None
-        abnormal_split = 810  # UCF-Crime abnormal-first list split
+        # FeatureDataset's normal/abnormal split takes the FIRST ``abnormal_split``
+        # entries as abnormal (datasets/dataset.py:26-48) — a plain sorted() glob
+        # interleaves Normal_Videos* among the crime-category directories, so
+        # partition abnormal-first explicitly and derive the split from the count.
+        all_uris = sorted(glob.glob(args.crime_glob))
+        _is_normal = lambda u: os.path.basename(os.path.dirname(u)).lower().startswith("normal")
+        crime_uris = [u for u in all_uris if not _is_normal(u)] + [
+            u for u in all_uris if _is_normal(u)
+        ]
+        abnormal_split = sum(1 for u in crime_uris if not _is_normal(u))
+        # gt must be per-video frame labels concatenated in EXACTLY this order;
+        # persist the order so make_gt can be run against it.
+        os.makedirs(args.save_dir, exist_ok=True)
+        order_file = os.path.join(args.save_dir, "parity_crime_order.txt")
+        open(order_file, "w").write("\n".join(crime_uris) + "\n")
+        crime_gt = np.load(args.crime_gt)
         decode_hw = (240, 320)
         shape_kw = {}
 
@@ -394,7 +407,7 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     if not args.dry_run:
         required = ["ucf101_train_list", "ucf101_val_list", "ucf101_videos",
-                    "vispr_train", "vispr_test", "crime_glob"]
+                    "vispr_train", "vispr_test", "crime_glob", "crime_gt"]
         missing = [r for r in required if not getattr(args, r)]
         if missing:
             raise SystemExit(f"real-data mode needs --{' --'.join(missing)} (or use --dry-run)")

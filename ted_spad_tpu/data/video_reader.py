@@ -129,15 +129,20 @@ class VideoReader:
         return self._num_frames
 
     def get_batch(self, indices: Sequence[int]) -> np.ndarray:
-        """decord ``VideoReader.get_batch`` semantics (ucf101_dl.py:68, 91): frames at
-        sorted indices -> (n, H, W, 3) uint8."""
-        idx = np.asarray(sorted(int(i) for i in indices), dtype=np.int64)
-        out = np.empty((len(idx), self.height, self.width, 3), dtype=np.uint8)
+        """decord ``VideoReader.get_batch`` semantics (ucf101_dl.py:68, 91): frames in
+        the REQUESTED order -> (n, H, W, 3) uint8. Order matters: the palindrome
+        short-clip completion (ucf101_dl.py:550-567, data/videos.py) produces
+        non-monotonic index lists whose reversed tail must survive. Decoding still
+        happens once per unique frame in ascending order (the decoder seeks forward),
+        then frames are gathered back into request order."""
+        req = np.asarray([int(i) for i in indices], dtype=np.int64)
+        uniq = np.unique(req)  # sorted ascending, deduplicated
+        dec = np.empty((len(uniq), self.height, self.width, 3), dtype=np.uint8)
         n = self._lib.vd_read_indices(
             self._h,
-            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(idx),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            uniq.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(uniq),
+            dec.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         if n < 0:
             # Conversion failure (not EOF): surface it so the loaders' corrupt-video
@@ -145,15 +150,15 @@ class VideoReader:
             raise IOError(
                 f"rgb read failed for {self.path}: {self._lib.vd_last_error().decode()}"
             )
-        if n < len(idx):
+        if n < len(uniq):
             # EOF short-read: pad with the last decoded frame (the loaders apply their
             # own padding policies on top, ucf101_dl.py:550-567). A zero-frame read
             # (bad seek / overestimated frame count) must not leak uninitialized memory.
             if n == 0:
-                out[:] = 0
+                dec[:] = 0
             else:
-                out[n:] = out[n - 1]
-        return out
+                dec[n:] = dec[n - 1]
+        return dec[np.searchsorted(uniq, req)]
 
     def read_strided_yuv(self, start: int, n: int, stride: int):
         """Planar ingest read: ``(y (n,H,W), u (n,H/2,W/2), v (n,H/2,W/2), full_range)``
@@ -193,6 +198,12 @@ class VideoReader:
         got = self._lib.vd_read_strided(
             self._h, start, n, stride, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         )
+        if got < 0:
+            # Conversion failure (not EOF) — same contract as get_batch: raise so the
+            # extraction skip-and-log tolerance fires instead of saving garbage features.
+            raise IOError(
+                f"rgb read failed for {self.path}: {self._lib.vd_last_error().decode()}"
+            )
         if got < n:
             if got == 0:
                 out[:] = 0

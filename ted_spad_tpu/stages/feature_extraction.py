@@ -90,16 +90,17 @@ def iter_clip_batches(
         uri = video_uris[vi]
         vr = open_video(uri, decode_hw[1], decode_hw[0])
         starts = video_clip_starts(len(vr), p.num_frames, p.clip_stride, p.clip_step)
+        if decode_mode == "yuv":
+            cs = getattr(vr, "colorspace", 0)  # per-video property — check once
+            if cs not in (0, 601):  # untagged is swscale's 601 default
+                raise RuntimeError(
+                    f"{uri}: colorspace tag {cs} — the YUV ingest path hardcodes "
+                    "BT.601 (matching the RGB path's swscale default); use "
+                    "decode_mode='rgb' for this source"
+                )
         clips = []
         for ci, s in enumerate(starts):
             if decode_mode == "yuv":
-                cs = getattr(vr, "colorspace", 0)
-                if cs not in (0, 601):  # untagged is swscale's 601 default
-                    raise RuntimeError(
-                        f"{uri}: colorspace tag {cs} — the YUV ingest path hardcodes "
-                        "BT.601 (matching the RGB path's swscale default); use "
-                        "decode_mode='rgb' for this source"
-                    )
                 y, u, v, full = vr.read_strided_yuv(s, p.num_frames, p.clip_stride)
                 if full:
                     raise RuntimeError(
@@ -141,13 +142,16 @@ def iter_clip_batches(
     while futures:
         done, futures = wait(futures, return_when=FIRST_COMPLETED)
         for fut in done:
+            # Pop immediately: retaining the future would pin its result tuple (every
+            # decoded clip of the video) in host RAM for the rest of the run.
+            fut_vi = vi_of.pop(fut, -1)
             try:
                 vi, clips = fut.result()
             except Exception as e:  # noqa: BLE001 — per-video tolerance, see docstring
                 if on_error is None:
                     pool.shutdown(wait=False, cancel_futures=True)
                     raise
-                on_error(vi_of.get(fut, -1), repr(e))
+                on_error(fut_vi, repr(e))
                 if next_submit < len(video_uris):
                     f = pool.submit(decode_video, next_submit)
                     vi_of[f] = next_submit

@@ -47,6 +47,22 @@ class TestNativeReader:
             expected = limited_range(np.array(frames[idx, 0, 0, 0]))
             assert abs(int(batch[row].mean()) - int(expected)) <= 1, (idx, batch[row].mean(), expected)
 
+    def test_get_batch_preserves_request_order(self, gray_video):
+        """decord returns frames in REQUESTED order — the palindrome short-clip
+        completion (ucf101_dl.py:550-567, data/videos.py) sends non-monotonic,
+        duplicated index lists whose reversed tail must survive the read."""
+        path, frames = gray_video
+        req = [0, 8, 16, 24, 16, 8, 0, 24]  # palindrome-style bounce with repeats
+        with open_video(path) as vr:
+            batch = vr.get_batch(req)
+        assert batch.shape[0] == len(req)
+        for row, idx in enumerate(req):
+            expected = limited_range(np.array(frames[idx, 0, 0, 0]))
+            assert abs(int(batch[row].mean()) - int(expected)) <= 1, (row, idx)
+        # identical indices must yield identical rows
+        np.testing.assert_array_equal(batch[0], batch[6])
+        np.testing.assert_array_equal(batch[2], batch[4])
+
     def test_read_strided(self, gray_video):
         path, frames = gray_video
         with open_video(path) as vr:
