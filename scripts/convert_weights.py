@@ -41,54 +41,14 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
-    from ted_spad_tpu.models import load_fa_model, load_fb_model, load_ft_model
     from ted_spad_tpu.utils.checkpoint import save_checkpoint
-    from ted_spad_tpu.utils.torch_convert import (
-        convert_inception_i3d,
-        convert_resnet50_classifier,
-        load_imagenet_into_unetpp,
-        load_kinetics_into_wrapper,
-        load_mvitv2_weights,
-        load_r3d18_weights,
-        load_torch_checkpoint,
-    )
+    from ted_spad_tpu.utils.torch_convert import convert_seed_payload, load_torch_checkpoint
 
     sd = load_torch_checkpoint(args.src)
-    if args.kind == "largei3d":
-        model, variables = load_ft_model("largei3d", num_classes=args.num_classes, clip_shape=(16, 64, 64))
-        variables = load_kinetics_into_wrapper(variables, sd, args.num_classes)
-        payload = {"ft_model_state_dict": variables}
-    elif args.kind == "i3d":
-        model, variables = load_ft_model("i3d", num_classes=args.num_classes, clip_shape=(16, 224, 224))
-        tree = convert_inception_i3d(sd, include_logits=(args.num_classes == 400))
-        variables = {
-            **variables,
-            "params": {**variables["params"], **tree["params"]},
-            "batch_stats": {**variables["batch_stats"], **tree["batch_stats"]},
-        }
-        payload = {"ft_model_state_dict": variables}
-    elif args.kind == "unet++":
-        model, variables = load_fa_model(arch="unet++", image_size=(224, 224))
-        variables = load_imagenet_into_unetpp(variables, sd)
-        payload = {"fa_model_state_dict": variables}
-    elif args.kind == "r3d_18":
-        model, variables = load_ft_model("r3d_18", num_classes=args.num_classes, clip_shape=(16, 64, 64))
-        variables = load_r3d18_weights(variables, sd, args.num_classes)
-        payload = {"ft_model_state_dict": variables}
-    elif args.kind == "mvitv2":
-        model, variables = load_ft_model("mvitv2", num_classes=args.num_classes, clip_shape=(16, 224, 224))
-        variables = load_mvitv2_weights(variables, sd, args.num_classes)
-        payload = {"ft_model_state_dict": variables}
-    else:  # r50 fb predictor
-        model, variables = load_fb_model("r50", num_pa=args.num_pa, image_size=(64, 64))
-        conv = convert_resnet50_classifier(sd, replace_fc=True)
-        variables = {
-            **variables,
-            "params": {**variables["params"], **conv["params"]},
-            "batch_stats": {**variables["batch_stats"], **conv["batch_stats"]},
-        }
-        payload = {"fb_model_state_dict": variables}
-
+    payload = convert_seed_payload(
+        args.kind, sd, num_classes=args.num_classes, num_pa=args.num_pa,
+        image_size=(224, 224) if args.kind == "unet++" else (64, 64),
+    )
     save_checkpoint(args.out, payload)
     print(f"wrote {args.out}")
 

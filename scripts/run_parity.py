@@ -94,43 +94,28 @@ def _oracle_state_dicts(tmp: str) -> dict[str, str]:
 
 
 def convert_seeds(seed_srcs: dict[str, str], out_dir: str, num_classes: int, log) -> dict[str, str]:
-    """The convert_weights.py conversion path, inlined (same converters, same payload
-    keys) for the three seeds the pipeline consumes: ft largei3d (Kinetics), fa UNet++
-    encoder (ImageNet r18), fb predictor (ImageNet r50)."""
-    from ted_spad_tpu.models import load_fa_model, load_fb_model, load_ft_model
+    """Converts the three seeds the pipeline consumes — ft largei3d (Kinetics), fa UNet++
+    encoder (ImageNet r18), fb predictor (ImageNet r50) — through the SAME
+    ``convert_seed_payload`` used by scripts/convert_weights.py (shared kind->converter->
+    payload-key mapping; small init shapes keep conversion cheap)."""
     from ted_spad_tpu.utils.checkpoint import save_checkpoint
-    from ted_spad_tpu.utils.torch_convert import (
-        convert_resnet50_classifier,
-        load_imagenet_into_unetpp,
-        load_kinetics_into_wrapper,
-        load_torch_checkpoint,
-    )
+    from ted_spad_tpu.utils.torch_convert import convert_seed_payload, load_torch_checkpoint
 
     os.makedirs(out_dir, exist_ok=True)
+    names = {"largei3d": "ft", "unet++": "fa", "r50": "fb"}
+    files = {"largei3d": "ft_largei3d_seed.ckpt", "unet++": "fa_unetpp_seed.ckpt",
+             "r50": "fb_r50_seed.ckpt"}
     paths = {}
-    if "largei3d" in seed_srcs:
-        sd = load_torch_checkpoint(seed_srcs["largei3d"])
-        _, variables = load_ft_model("largei3d", num_classes=num_classes, clip_shape=(8, 32, 32))
-        variables = load_kinetics_into_wrapper(variables, sd, num_classes)
-        paths["ft"] = os.path.join(out_dir, "ft_largei3d_seed.ckpt")
-        save_checkpoint(paths["ft"], {"ft_model_state_dict": variables})
-    if "unet++" in seed_srcs:
-        sd = load_torch_checkpoint(seed_srcs["unet++"])
-        _, variables = load_fa_model(arch="unet++", image_size=(32, 32))
-        variables = load_imagenet_into_unetpp(variables, sd)
-        paths["fa"] = os.path.join(out_dir, "fa_unetpp_seed.ckpt")
-        save_checkpoint(paths["fa"], {"fa_model_state_dict": variables})
-    if "r50" in seed_srcs:
-        sd = load_torch_checkpoint(seed_srcs["r50"])
-        _, variables = load_fb_model("r50", num_pa=7, image_size=(32, 32))
-        conv = convert_resnet50_classifier(sd, replace_fc=True)
-        variables = {
-            **variables,
-            "params": {**variables["params"], **conv["params"]},
-            "batch_stats": {**variables["batch_stats"], **conv["batch_stats"]},
-        }
-        paths["fb"] = os.path.join(out_dir, "fb_r50_seed.ckpt")
-        save_checkpoint(paths["fb"], {"fb_model_state_dict": variables})
+    for kind, slot in names.items():
+        if kind not in seed_srcs:
+            continue
+        sd = load_torch_checkpoint(seed_srcs[kind])
+        payload = convert_seed_payload(
+            kind, sd, num_classes=num_classes, clip_shape=(8, 32, 32),
+            image_size=(32, 32),
+        )
+        paths[slot] = os.path.join(out_dir, files[kind])
+        save_checkpoint(paths[slot], payload)
     log(f"converted seeds: {sorted(paths)}")
     return paths
 

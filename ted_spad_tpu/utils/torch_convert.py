@@ -329,3 +329,59 @@ def load_torch_checkpoint(path: str) -> dict[str, Any]:
         if isinstance(obj, dict) and key in obj:
             return obj[key]
     raise ValueError(f"unrecognized checkpoint structure in {path}")
+
+
+def convert_seed_payload(
+    kind: str,
+    sd: Mapping[str, Any],
+    *,
+    num_classes: int = 102,
+    num_pa: int = 7,
+    clip_shape: tuple[int, int, int] | None = None,
+    image_size: tuple[int, int] = (224, 224),
+) -> dict[str, Any]:
+    """One seed kind -> its checkpoint payload, shared by scripts/convert_weights.py and
+    scripts/run_parity.py so the kind->converter->payload-key mapping cannot drift.
+
+    ``kind`` mirrors the reference's loader switch (model_loaders.py): ``largei3d``
+    (i3d_r50_kinetics.pth, :185-197), ``i3d`` (rgb_imagenet.pt, :171-182), ``unet++``
+    (smp ImageNet resnet18 encoder, :18-30), ``r50`` (fb predictor, :157-168),
+    ``r3d_18`` (:203-204), ``mvitv2`` (:219-221). ``clip_shape``/``image_size`` shape
+    the random init of unconverted parts; pure-conv kinds are size-agnostic (small
+    default keeps conversion cheap), but mvitv2's rel-pos tables are sized by the
+    input resolution, so it defaults to the torchvision-native (16, 224, 224).
+    """
+    from ted_spad_tpu.models import load_fa_model, load_fb_model, load_ft_model
+
+    if clip_shape is None:
+        clip_shape = (16, 224, 224) if kind == "mvitv2" else (16, 64, 64)
+
+    if kind == "largei3d":
+        _, variables = load_ft_model("largei3d", num_classes=num_classes, clip_shape=clip_shape)
+        return {"ft_model_state_dict": load_kinetics_into_wrapper(variables, sd, num_classes)}
+    if kind == "i3d":
+        _, variables = load_ft_model("i3d", num_classes=num_classes, clip_shape=clip_shape)
+        tree = convert_inception_i3d(sd, include_logits=(num_classes == 400))
+        return {"ft_model_state_dict": {
+            **variables,
+            "params": {**variables["params"], **tree["params"]},
+            "batch_stats": {**variables["batch_stats"], **tree["batch_stats"]},
+        }}
+    if kind == "unet++":
+        _, variables = load_fa_model(arch="unet++", image_size=image_size)
+        return {"fa_model_state_dict": load_imagenet_into_unetpp(variables, sd)}
+    if kind == "r3d_18":
+        _, variables = load_ft_model("r3d_18", num_classes=num_classes, clip_shape=clip_shape)
+        return {"ft_model_state_dict": load_r3d18_weights(variables, sd, num_classes)}
+    if kind == "mvitv2":
+        _, variables = load_ft_model("mvitv2", num_classes=num_classes, clip_shape=clip_shape)
+        return {"ft_model_state_dict": load_mvitv2_weights(variables, sd, num_classes)}
+    if kind == "r50":
+        _, variables = load_fb_model("r50", num_pa=num_pa, image_size=image_size)
+        conv = convert_resnet50_classifier(sd, replace_fc=True)
+        return {"fb_model_state_dict": {
+            **variables,
+            "params": {**variables["params"], **conv["params"]},
+            "batch_stats": {**variables["batch_stats"], **conv["batch_stats"]},
+        }}
+    raise ValueError(f"unknown seed kind {kind!r}")
