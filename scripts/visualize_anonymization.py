@@ -32,8 +32,12 @@ def main() -> None:
         uris = sorted(_glob.glob(args.videos_glob))
         size = (240, 320)
 
+    from ted_spad_tpu.utils.naming import dedup_names
+
+    names = dedup_names(uris)  # same-basename videos in different dirs must not clobber
     for uri in uris:
-        paths = anonymize_video(uri, args.out_dir, saved_model_fa=args.saved_model_fa, size=size)
+        paths = anonymize_video(uri, args.out_dir, saved_model_fa=args.saved_model_fa,
+                                size=size, out_name=names[uri])
         print(f"{uri} -> {paths['video']}, {paths['grid']}")
 
 

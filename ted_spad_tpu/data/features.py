@@ -118,8 +118,15 @@ def paired_train_batches(
         steps += 1
     for s in range(steps):
         sl = slice(s * batch_size, (s + 1) * batch_size)
-        nf, nl = zip(*(normal[int(i)] for i in n_idx[sl]))
-        af, al = zip(*(abnormal[int(i)] for i in a_idx[sl]))
+        ns, asl = n_idx[sl], a_idx[sl]
+        # The MGFN step concatenates [normal; abnormal] and splits at the midpoint,
+        # so the halves MUST be the same size — truncate the final partial batch to
+        # the shorter half (zip(nloader, aloader) semantics, never a lopsided pair).
+        m = min(len(ns), len(asl))
+        if m == 0:
+            break
+        nf, nl = zip(*(normal[int(i)] for i in ns[:m]))
+        af, al = zip(*(abnormal[int(i)] for i in asl[:m]))
         yield (
             np.stack(nf),
             np.asarray(nl, np.float32),

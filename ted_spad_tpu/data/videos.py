@@ -159,14 +159,26 @@ def load_ucf101_list(
 ) -> list[VideoItem]:
     """Parse a UCF101 trainlist/testlist split file + class mapping (ucf101_dl.py:31-38,
     244-249): lines '<Class>/<vid>.avi[ label]'; labels come from the mapping json
-    (action_classes.json format, {"classes": {name: id}}). Without a mapping file, classes
-    are derived from the sorted directory names in the list (stable 1-based ids)."""
+    (action_classes.json format, {"classes": {name: id}}). Without a mapping file, ids
+    come from the sorted class subdirectories of ``videos_dir`` (the same 1-based ids
+    for every list over that tree — a train list and a partial val list must agree),
+    falling back to the names in the list only when the directory can't provide them."""
     lines = [ln for ln in open(list_file).read().splitlines() if ln.strip()]
     rels = [ln.split(" ")[0].replace("/", os.sep) for ln in lines]
     if class_mapping_json and os.path.exists(class_mapping_json):
         classes = json.load(open(class_mapping_json))["classes"]
     else:
-        names = sorted({r.split(os.sep)[0] for r in rels})
+        listed = sorted({r.split(os.sep)[0] for r in rels})
+        names = (
+            sorted(
+                d for d in os.listdir(videos_dir)
+                if os.path.isdir(os.path.join(videos_dir, d))
+            )
+            if os.path.isdir(videos_dir)
+            else []
+        )
+        if not set(listed) <= set(names):
+            names = listed
         classes = {name: i + 1 for i, name in enumerate(names)}
     return [
         VideoItem(os.path.join(videos_dir, rel), int(classes[rel.split(os.sep)[0]]))

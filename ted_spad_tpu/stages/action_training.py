@@ -92,9 +92,12 @@ def make_train_step(ft_model, optimizer, p: ActionParams, fa=None) -> Callable:
             vars_in = {**variables, "params": params}
 
             def fwd(x, mutable):
+                # Only the largei3d wrapper takes frozen_bn (train_action.py:39-41
+                # applies freeze_bn to largei3d only); the other archs' __call__
+                # signatures don't accept the kwarg.
+                kw = {"frozen_bn": True} if frozen_bn else {}
                 return ft_model.apply(
-                    vars_in, x, train=True, frozen_bn=frozen_bn,
-                    rngs={"dropout": rng}, mutable=mutable,
+                    vars_in, x, train=True, rngs={"dropout": rng}, mutable=mutable, **kw
                 )
 
             if v > 1:
@@ -202,8 +205,11 @@ def evaluate_action(
     sums: dict[int, np.ndarray] = {}
     counts: dict[int, int] = {}
     labels: dict[int, int] = {}
+    # One dataset (and one decode thread pool) reused across the mode sweep — `mode`
+    # is only read inside _load_one, and batches() drains its pool tasks per call.
+    ds = ValClipDataset(items, p, mode=0, decode_w=decode_hw[1], decode_h=decode_hw[0])
     for mode in range(p.num_modes):
-        ds = ValClipDataset(items, p, mode=mode, decode_w=decode_hw[1], decode_h=decode_hw[0])
+        ds.mode = mode
         for batch in ds.batches(p.v_batch_size):
             clips = jnp.asarray(batch.clips)  # one host->device transfer per batch
             for cf in p.cropping_facs:

@@ -93,8 +93,12 @@ class LRScheduler:
         elif mode == "warmup_drop":
             # train_reconstruction.py:144 / train_privacy.py:197: warmup_array[epoch]
             # while epoch < warmup (1-based epoch skips index 0 — faithful), then divide
-            # by the stage's drop factor after lr_patience non-improving epochs
-            # (scheduled_drop for reconstruction, lr_reduce_factor for privacy).
+            # by the stage's drop factor once MORE THAN lr_patience non-improving epochs
+            # have accumulated (scheduled_drop for reconstruction, lr_reduce_factor for
+            # privacy). The count is CUMULATIVE, not consecutive — the reference never
+            # resets the counter on improvement in these two loops (train_privacy.py:
+            # 204-210, train_reconstruction.py:154-160), only after a drop fires;
+            # update() mirrors that (reset-on-improve is patience_based-only).
             if epoch < getattr(p, "warmup", 0):
                 self.lr = p.warmup_array[min(epoch, len(p.warmup_array) - 1)] * self.base_lr
             if self.patience_count > p.lr_patience:

@@ -312,28 +312,11 @@ def extract_features(
         raise ValueError("decode_mode='yuv' does not support no_ar_distortion; use 'rgb'")
     os.makedirs(save_dir, exist_ok=True)
 
-    def base_name(uri: str) -> str:
-        return os.path.basename(uri).rsplit(".", 1)[0].replace("synthetic://", "synth_").replace(
-            ",", "_"
-        ).replace("=", "")
+    # uri-hash dedup over the FULL list before sharding (utils/naming.py) — same-
+    # basename videos in different dirs must not clobber, including across shards.
+    from ted_spad_tpu.utils.naming import dedup_names
 
-    # Same-basename videos in different directories (fine for UCF-Crime naming, which
-    # is unique) would silently clobber each other's .npy; disambiguate duplicates
-    # with a short uri hash so every input maps to a distinct, deterministic output.
-    # Computed over the FULL list before sharding — cross-shard duplicates must also
-    # disambiguate (each shard sees only its slice).
-    names: dict[str, str] = {}
-    seen: dict[str, int] = {}
-    for u in video_uris:
-        b = base_name(u)
-        seen[b] = seen.get(b, 0) + 1
-    for u in video_uris:
-        b = base_name(u)
-        if seen[b] > 1:
-            import hashlib
-
-            b = b + "_" + hashlib.sha1(u.encode()).hexdigest()[:8]
-        names[u] = b
+    names = dedup_names(list(video_uris))
 
     def out_path(uri: str) -> str:
         return os.path.join(save_dir, names[uri] + ".npy")

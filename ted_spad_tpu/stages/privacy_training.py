@@ -168,6 +168,13 @@ def train_privacy(
             import traceback
 
             log_fn(f"epoch {epoch} failed; continuing:\n{traceback.format_exc()}")
+            # Keep the per-epoch series positionally aligned even when the failure
+            # hit after some appends (e.g. train_loss recorded, validation died):
+            # consumers zip these lists by index.
+            n = max(len(v) for v in history.values())
+            for v in history.values():
+                while len(v) < n:
+                    v.append(float("nan"))
             continue
 
     return {"history": history, "best_cmap": best.best, "best_path": best.best_path, "variables": variables}

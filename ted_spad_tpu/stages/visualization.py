@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ted_spad_tpu.data.video_reader import native_available, open_video, write_mp4, write_y4m
+from ted_spad_tpu.data.video_reader import native_available, open_video, write_y4m
 from ted_spad_tpu.models import load_fa_model
 
 
@@ -48,9 +48,23 @@ def anonymize_video(
     size: tuple[int, int] = (240, 320),
     sample_grid_frames: int = 4,
     dtype: str = "float32",
+    out_name: str | None = None,
 ) -> dict[str, str]:
     """Write ``<name>_anon.mp4`` (Y4M fallback) + ``<name>_grid.png``
-    (original|anonymized rows)."""
+    (original|anonymized rows).
+
+    Frames genuinely stream: each decoded chunk is anonymized on device and encoded
+    immediately (VideoWriter is per-frame streaming), so host memory stays
+    O(chunk + grid samples) — a 2 h surveillance video never materializes in RAM.
+
+    ``out_name`` overrides the default basename-derived stem; callers visualizing a
+    LIST of videos should pass ``utils.naming.dedup_names`` stems so same-basename
+    videos in different directories don't clobber each other's artifacts (the same
+    rule extraction applies to its .npy outputs).
+    """
+    from ted_spad_tpu.data.video_reader import VideoWriter
+    from ted_spad_tpu.utils.naming import base_name
+
     os.makedirs(out_dir, exist_ok=True)
     h, w = size
     fa_model, fa_vars = load_fa_model(saved_model_fa, arch=arch_fa, image_size=(h, w), dtype=dtype)
@@ -58,37 +72,52 @@ def anonymize_video(
         fa_vars = fa_variables
     anonymize = make_anonymize_fn(fa_model, fa_vars)
 
+    base = out_name or base_name(video_uri)
     vr = open_video(video_uri, w, h)
     n = len(vr)
-    anon_frames = []
-    orig_frames = []
-    for start in range(0, n, chunk):
-        count = min(chunk, n - start)
-        frames = vr.read_strided(start, count, 1)
-        out = np.asarray(anonymize(jnp.asarray(frames)))
-        anon_frames.append((out * 255.0 + 0.5).astype(np.uint8))
-        orig_frames.append(frames)
-    vr.close()
-    anon = np.concatenate(anon_frames)
-    orig = np.concatenate(orig_frames)
-
-    base = os.path.basename(video_uri).rsplit(".", 1)[0].replace("synthetic://", "synth_").replace(
-        ",", "_"
-    ).replace("=", "")
     fps = vr.fps if getattr(vr, "fps", 0) else 25.0
+    grid_idx = set(np.linspace(0, max(n - 1, 0), sample_grid_frames).astype(int).tolist())
+    grid_orig: dict[int, np.ndarray] = {}
+    grid_anon: dict[int, np.ndarray] = {}
+
+    writer = None
+    # Y4M fallback (native encoder absent — dev/test environments only) buffers the
+    # anonymized stream; the mp4 path streams every frame straight to the encoder.
+    y4m_frames = [] if not native_available() else None
     if native_available():
         video_path = os.path.join(out_dir, f"{base}_anon.mp4")
-        write_mp4(video_path, anon, fps=fps)
+        writer = VideoWriter(video_path, w, h, fps=fps)
     else:
         video_path = os.path.join(out_dir, f"{base}_anon.y4m")
-        write_y4m(video_path, anon, fps=int(round(fps)))
+
+    try:
+        for start in range(0, n, chunk):
+            count = min(chunk, n - start)
+            frames = vr.read_strided(start, count, 1)
+            out = np.asarray(anonymize(jnp.asarray(frames)))
+            anon_u8 = (out * 255.0 + 0.5).astype(np.uint8)
+            if writer is not None:
+                for f in anon_u8:
+                    writer.write(f)
+            else:
+                y4m_frames.append(anon_u8)
+            for i in range(start, start + count):
+                if i in grid_idx:
+                    grid_orig[i] = frames[i - start]
+                    grid_anon[i] = anon_u8[i - start]
+    finally:
+        vr.close()
+        if writer is not None:
+            writer.close()
+    if y4m_frames is not None:
+        write_y4m(video_path, np.concatenate(y4m_frames), fps=int(round(fps)))
 
     # Side-by-side sample grid (original top row, anonymized bottom row).
     from PIL import Image
 
-    idx = np.linspace(0, len(anon) - 1, sample_grid_frames).astype(int)
-    top = np.concatenate([orig[i] for i in idx], axis=1)
-    bottom = np.concatenate([anon[i] for i in idx], axis=1)
+    idx = sorted(grid_orig)
+    top = np.concatenate([grid_orig[i] for i in idx], axis=1)
+    bottom = np.concatenate([grid_anon[i] for i in idx], axis=1)
     grid = np.concatenate([top, bottom], axis=0)
     png_path = os.path.join(out_dir, f"{base}_grid.png")
     Image.fromarray(grid).save(png_path)

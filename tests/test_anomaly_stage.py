@@ -195,3 +195,37 @@ def test_mgfn_mesh_eval_matches_single_device(tmp_path):
     roc8, pr8 = evaluate(make_score_fn(model, mesh=mesh), vrep, test_ds, gt)
     assert roc1 == pytest.approx(roc8, abs=1e-6)
     assert pr1 == pytest.approx(pr8, abs=1e-6)
+
+
+def test_paired_train_batches_tail_halves_equal(tmp_path):
+    """drop_last=False with unequal splits must never yield lopsided halves — the MGFN
+    step concatenates [normal; abnormal] and splits at the midpoint."""
+    from ted_spad_tpu.data.features import FeatureDataset, paired_train_batches
+
+    def make_split(n, offset):
+        paths = []
+        for i in range(n):
+            p = tmp_path / f"v{offset + i}.npy"
+            np.save(p, np.random.default_rng(i).random((40, 9)).astype(np.float32))
+            paths.append(str(p))
+        lst = tmp_path / f"list{offset}.txt"
+        lst.write_text("\n".join(paths) + "\n")
+        return str(lst)
+
+    import ted_spad_tpu.data.features as fm
+
+    old = fm.ABNORMAL_SPLIT.get("UCF")
+    fm.ABNORMAL_SPLIT["UCF"] = 9
+    try:
+        normal = FeatureDataset(make_split(14, 0), "UCF", is_normal=True)
+        abnormal = FeatureDataset(make_split(14, 100), "UCF", is_normal=False)
+    finally:
+        fm.ABNORMAL_SPLIT["UCF"] = old
+    # normal split = entries after index 9 -> 5 items; abnormal = first 9 -> 9 items.
+    assert len(normal) == 5 and len(abnormal) == 9
+    batches = list(paired_train_batches(normal, abnormal, 4, drop_last=False))
+    assert batches, "expected at least one batch"
+    for nf, nl, af, al in batches:
+        assert nf.shape[0] == af.shape[0] == len(nl) == len(al)
+    # tail is the 5th normal paired with the 5th abnormal (1 each), not 1-vs-4
+    assert batches[-1][0].shape[0] == 1

@@ -275,3 +275,13 @@ def test_resume_reports_existing(tmp_path):
     assert len(r1["saved"]) == 2 and r1["existing"] == {}
     assert r2["clips"] == 0 and set(r2["existing"]) == set(uris)
     assert set(r2["existing"].values()) == set(r1["saved"].values())
+
+
+def test_dedup_names_disambiguates_same_basename():
+    from ted_spad_tpu.utils.naming import dedup_names
+
+    uris = ["a/video.mp4", "b/video.mp4", "c/other.mp4"]
+    names = dedup_names(uris)
+    assert len(set(names.values())) == 3
+    assert names["c/other.mp4"] == "other"
+    assert all(n.startswith("video_") for u, n in names.items() if "video" in u)

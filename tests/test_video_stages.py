@@ -208,3 +208,23 @@ def test_framewise_aug_params_per_frame():
     np.testing.assert_array_equal(y0[:, 0], y0[:, 1])  # crop shared across frames
     # Color draws differ across frames with overwhelming probability.
     assert len(np.unique(b.params.contrast)) > 4
+
+
+def test_load_ucf101_list_ids_consistent_across_partial_lists(tmp_path):
+    """Without a mapping json, class ids must come from the videos_dir tree so a train
+    list and a val list covering different class subsets still agree on ids."""
+    from ted_spad_tpu.data.videos import load_ucf101_list
+
+    vids = tmp_path / "videos"
+    for cls in ("Archery", "Bowling", "Diving"):
+        (vids / cls).mkdir(parents=True)
+    train = tmp_path / "train.txt"
+    train.write_text("Archery/a.avi 1\nBowling/b.avi 2\nDiving/d.avi 3\n")
+    val = tmp_path / "val.txt"
+    val.write_text("Bowling/b2.avi\nDiving/d2.avi\n")  # partial class coverage
+    t_items = load_ucf101_list(str(train), str(vids))
+    v_items = load_ucf101_list(str(val), str(vids))
+    t_ids = {i.uri.split("/")[-2]: i.label for i in t_items}
+    v_ids = {i.uri.split("/")[-2]: i.label for i in v_items}
+    for cls in ("Bowling", "Diving"):
+        assert t_ids[cls] == v_ids[cls], (cls, t_ids, v_ids)
