@@ -32,11 +32,12 @@ namespace {
 struct Decoder {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* codec = nullptr;
-  SwsContext* sws = nullptr;
+  SwsContext* sws = nullptr;          // lazy: keyed on the decoded frame's fmt/dims
+  int sws_fmt = AV_PIX_FMT_NONE;
+  int sws_w = 0, sws_h = 0;
   SwsContext* sws_yuv = nullptr;  // lazy: non-yuv420p sources -> planar yuv420p
   int sws_yuv_fmt = AV_PIX_FMT_NONE;  // pixel format the lazy context was built for
   AVFrame* frame = nullptr;
-  AVFrame* rgb = nullptr;
   AVPacket* pkt = nullptr;
   int stream_idx = -1;
   int out_w = 0, out_h = 0;
@@ -48,7 +49,6 @@ struct Decoder {
   ~Decoder() {
     if (sws_yuv) sws_freeContext(sws_yuv);
     if (sws) sws_freeContext(sws);
-    if (rgb) av_frame_free(&rgb);
     if (frame) av_frame_free(&frame);
     if (pkt) av_packet_free(&pkt);
     if (codec) avcodec_free_context(&codec);
@@ -100,12 +100,26 @@ int decode_next(Decoder* dec) {
   }
 }
 
-// Convert dec->frame to RGB24 into out (out_h*out_w*3 bytes).
+// Convert dec->frame to RGB24 into out (out_h*out_w*3 bytes). The swscale context is
+// keyed on the DECODED frame's pixel format and dimensions (not codecpar's open-time
+// values) so a mid-stream format/resolution change rebuilds it instead of silently
+// interpreting planes with a stale layout — same rule as the YUV path's lazy context.
 int to_rgb(Decoder* dec, uint8_t* out) {
+  AVFrame* f = dec->frame;
+  if (!dec->sws || dec->sws_fmt != f->format || dec->sws_w != f->width ||
+      dec->sws_h != f->height) {
+    if (dec->sws) sws_freeContext(dec->sws);
+    dec->sws = sws_getContext(f->width, f->height, static_cast<AVPixelFormat>(f->format),
+                              dec->out_w, dec->out_h, AV_PIX_FMT_RGB24, SWS_BILINEAR,
+                              nullptr, nullptr, nullptr);
+    dec->sws_fmt = f->format;
+    dec->sws_w = f->width;
+    dec->sws_h = f->height;
+    if (!dec->sws) return -1;
+  }
   uint8_t* dst[4] = {out, nullptr, nullptr, nullptr};
   int dst_linesize[4] = {dec->out_w * 3, 0, 0, 0};
-  int rows = sws_scale(dec->sws, dec->frame->data, dec->frame->linesize, 0,
-                       dec->codec->height, dst, dst_linesize);
+  int rows = sws_scale(dec->sws, f->data, f->linesize, 0, f->height, dst, dst_linesize);
   return rows == dec->out_h ? 0 : -1;
 }
 
@@ -117,6 +131,9 @@ int to_yuv420(Decoder* dec, uint8_t* y, uint8_t* u, uint8_t* v) {
   AVFrame* f = dec->frame;
   const int W = dec->codec->width, H = dec->codec->height;
   const int cw = W / 2, ch = H / 2;
+  // Caller buffers are sized from the open-time native dims; a mid-stream
+  // resolution change would overflow them — fail the read instead.
+  if (f->width != W || f->height != H) return -1;
   if (f->format == AV_PIX_FMT_YUV420P || f->format == AV_PIX_FMT_YUVJ420P) {
     for (int r = 0; r < H; ++r) memcpy(y + static_cast<int64_t>(r) * W, f->data[0] + static_cast<int64_t>(r) * f->linesize[0], W);
     for (int r = 0; r < ch; ++r) memcpy(u + static_cast<int64_t>(r) * cw, f->data[1] + static_cast<int64_t>(r) * f->linesize[1], cw);
@@ -157,6 +174,10 @@ int seek_to(Decoder* dec, int64_t target) {
   AVStream* st = dec->fmt->streams[dec->stream_idx];
   const double tb = av_q2d(st->time_base);
   if (tb <= 0 || dec->fps <= 0) return rewind_to_start(dec);
+  // Streams rarely start at pts 0 (B-frame reorder delay, MPEG-TS captures at ~1.4e9
+  // ticks): both the seek timestamp and the pts->index recovery must be relative to
+  // start_time, or every seeked read is shifted / degrades to the O(T) rewind.
+  const int64_t start = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
   // After a keyframe seek we do not know the exact frame index; recover it from the
   // first decoded frame's pts. If the recovered index already passed the target
   // (VFR / imprecise avg fps), retry with progressively earlier timestamps (1s, 4s,
@@ -171,7 +192,7 @@ int seek_to(Decoder* dec, int64_t target) {
   for (int attempt = 0; attempt < 4; ++attempt) {
     const double t_s = target / dec->fps - back_s;
     if (t_s < 0) break;
-    const int64_t ts = static_cast<int64_t>(t_s / tb);
+    const int64_t ts = start + static_cast<int64_t>(t_s / tb);
     int ret = av_seek_frame(dec->fmt, dec->stream_idx, ts, AVSEEK_FLAG_BACKWARD);
     if (ret < 0) return rewind_to_start(dec);
     avcodec_flush_buffers(dec->codec);
@@ -179,7 +200,8 @@ int seek_to(Decoder* dec, int64_t target) {
     if (ret <= 0) return ret < 0 ? ret : AVERROR_EOF;
     const int64_t pts = dec->frame->best_effort_timestamp;
     if (pts == AV_NOPTS_VALUE) return rewind_to_start(dec);
-    const int64_t idx = static_cast<int64_t>(pts * tb * dec->fps + 0.5);
+    const int64_t idx =
+        static_cast<int64_t>((pts - start) * tb * dec->fps + 0.5);
     if (idx <= target) {
       dec->next_frame = idx + 1;
       return 1;
@@ -269,13 +291,11 @@ void* vd_open(const char* path, int out_w, int out_h) {
   dec->num_frames = estimate_num_frames(dec->fmt, st, dec->fps);
   dec->out_w = out_w > 0 ? out_w : dec->codec->width;
   dec->out_h = out_h > 0 ? out_h : dec->codec->height;
-  dec->sws = sws_getContext(dec->codec->width, dec->codec->height, dec->codec->pix_fmt,
-                            dec->out_w, dec->out_h, AV_PIX_FMT_RGB24, SWS_BILINEAR,
-                            nullptr, nullptr, nullptr);
+  // The RGB swscale context is built lazily in to_rgb from the first decoded frame's
+  // actual format/dims (codecpar can disagree with the bitstream).
   dec->frame = av_frame_alloc();
-  dec->rgb = av_frame_alloc();
   dec->pkt = av_packet_alloc();
-  if (!dec->sws || !dec->frame || !dec->pkt) {
+  if (!dec->frame || !dec->pkt) {
     g_last_error = "allocation failure";
     delete dec;
     return nullptr;
@@ -490,6 +510,11 @@ void* ve_open(const char* path, int w, int h, double fps, const char* codec_name
     return nullptr;
   }
   enc->stream = avformat_new_stream(enc->fmt, codec);
+  if (!enc->stream) {
+    g_last_error = "avformat_new_stream failed";
+    delete enc;
+    return nullptr;
+  }
   avcodec_parameters_from_context(enc->stream->codecpar, enc->codec);
   enc->stream->time_base = enc->codec->time_base;
   enc->stream->avg_frame_rate = framerate;

@@ -33,13 +33,10 @@ def main() -> None:
     ap.add_argument("--num_pa", type=int, default=7)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
-    if args.cpu:
-        import os
+    from scripts._common import setup_platform
 
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+    args.devices = 0  # setup_platform contract (no virtual-device flag here)
+    setup_platform(args)
 
     from ted_spad_tpu.utils.checkpoint import save_checkpoint
     from ted_spad_tpu.utils.torch_convert import convert_seed_payload, load_torch_checkpoint

@@ -75,10 +75,22 @@ def main() -> None:
                 parts.append(xd_video_gt(nf, None))
             else:
                 stem = os.path.basename(path)[:-4]  # strip '.npy' (lines here are pre-stripped)
-                matches = [k for k in annos if stem in k]
-                if not matches:
-                    raise SystemExit(f"no XD annotation line matches {stem!r}")
-                parts.append(xd_video_gt(nf, annos[matches[0]]))
+                # Exact key match first (the reference's make_gt_xd.py equality);
+                # substring matching only as a suffix-tolerance fallback, and then
+                # it must be UNIQUE — matches[0] on an ambiguous stem would bind
+                # another video's anomaly spans to this row.
+                if stem in annos:
+                    spans = annos[stem]
+                else:
+                    matches = [k for k in annos if stem in k]
+                    if not matches:
+                        raise SystemExit(f"no XD annotation line matches {stem!r}")
+                    if len(matches) > 1:
+                        raise SystemExit(
+                            f"ambiguous XD annotation match for {stem!r}: {matches[:4]}"
+                        )
+                    spans = annos[matches[0]]
+                parts.append(xd_video_gt(nf, spans))
 
     gt = np.concatenate(parts)
     np.save(args.out, gt)

@@ -18,8 +18,14 @@ published artifacts):
         --seeds_dir saved_models \
         --ucf101_train_list ucf101/trainlist01.txt --ucf101_val_list ucf101/testlist01.txt \
         --ucf101_videos ucf101/videos --vispr_train vispr --vispr_test vispr_test \
-        --crime_glob 'UCF_Crimes/Videos/*/*.mp4' --crime_gt data/gt-ucf.npy \
+        --crime_glob 'UCF_Crimes/Train/*/*.mp4' \
+        --crime_test_glob 'UCF_Crimes/Test/*/*.mp4' --crime_gt gt-parity.npy \
         --params_dir /root/reference
+
+The MGFN AUC is scored on --crime_test_glob (the reference's held-out test split);
+``--crime_gt`` must hold frame labels concatenated in the test-video order the run
+writes to ``<save_dir>/parity_crime_order.txt`` (build it with scripts/make_gt.py over
+that list — gt length is validated against the extracted clip counts before scoring).
 
 Stage order mirrors the reference workflow (README.md:54-92): ft action training ->
 fa reconstruction pretraining -> adversarial anonymization -> privacy attack raw+anon ->
@@ -175,18 +181,11 @@ def run_parity(args) -> dict:
         vispr_test = SyntheticImageSource(n=8 if tiny else 16, canonical=64, seed=1)
         recon_train = ReconstructionSource(synthetic_n=8 if tiny else 16, canonical=64)
         recon_val = ReconstructionSource(synthetic_n=8, canonical=64, seed=1)
-        crime_uris, gts = [], []
-        n, clips = 96, len(range(0, 96 - 15 + 1, 16))
-        for i in range(2 if tiny else 3):  # abnormal family first (dataset.py:26-48 split)
-            crime_uris.append(f"synthetic://n={n},h=48,w=64,seed={7000 + i}")
-            m = np.zeros(clips * 32, np.float32)
-            m[: 2 * 32] = 1.0
-            gts.append(m)
-        for i in range(2 if tiny else 3):
-            crime_uris.append(f"synthetic://n={n},h=48,w=64,seed={1000 + i}")
-            gts.append(np.zeros(clips * 32, np.float32))
-        crime_gt = np.concatenate(gts)
-        abnormal_split = 2 if tiny else 3
+        from scripts._common import synthetic_crime_fixture
+
+        nfam = 2 if tiny else 3
+        crime_uris, crime_gt, abnormal_split = synthetic_crime_fixture(nfam, nfam)
+        test_uris = crime_uris  # synthetic: plumbing check, train==test by design
         decode_hw = (48, 64)
         shape_kw = dict(num_frames=8, reso_h=32, reso_w=32, compute_dtype="float32")
     else:
@@ -205,19 +204,31 @@ def run_parity(args) -> dict:
         recon_val = recon_train
         # FeatureDataset's normal/abnormal split takes the FIRST ``abnormal_split``
         # entries as abnormal (datasets/dataset.py:26-48) — a plain sorted() glob
-        # interleaves Normal_Videos* among the crime-category directories, so
+        # interleaves the normal-video directories among the crime categories, so
         # partition abnormal-first explicitly and derive the split from the count.
+        # UCF-Crime's normal dirs CONTAIN 'normal' but need not start with it
+        # (Testing_Normal_Videos_Anomaly, Training-Normal-Videos).
         all_uris = sorted(glob.glob(args.crime_glob))
-        _is_normal = lambda u: os.path.basename(os.path.dirname(u)).lower().startswith("normal")
+        _is_normal = lambda u: "normal" in os.path.basename(os.path.dirname(u)).lower()
         crime_uris = [u for u in all_uris if not _is_normal(u)] + [
             u for u in all_uris if _is_normal(u)
         ]
         abnormal_split = sum(1 for u in crime_uris if not _is_normal(u))
-        # gt must be per-video frame labels concatenated in EXACTLY this order;
+        # Held-out test videos: the reference trains MGFN on the 1610-video train
+        # split and reports AUC on the 290-video test split. Without a separate
+        # test glob the harness falls back to scoring the training videos — a
+        # plumbing check, NOT the reference's test-split AUC.
+        if args.crime_test_glob:
+            test_uris = sorted(glob.glob(args.crime_test_glob))
+        else:
+            test_uris = crime_uris
+            log("WARNING: no --crime_test_glob — MGFN AUC will be measured on the "
+                "TRAINING videos (not comparable to the reference's test-split AUC)")
+        # gt must be per-video frame labels concatenated in EXACTLY the test order;
         # persist the order so make_gt can be run against it.
         os.makedirs(args.save_dir, exist_ok=True)
         order_file = os.path.join(args.save_dir, "parity_crime_order.txt")
-        open(order_file, "w").write("\n".join(crime_uris) + "\n")
+        open(order_file, "w").write("\n".join(test_uris) + "\n")
         crime_gt = np.load(args.crime_gt)
         decode_hw = (240, 320)
         shape_kw = {}
@@ -286,9 +297,10 @@ def run_parity(args) -> dict:
     fx = _maybe_overlay(FeatureExtractionParams(run_id="parity_extract"), args.params_dir, "extract")
     fx = fx.replace(num_classes=num_classes, **(shape_kw if dry else {}))
     feats = {}
+    extract_uris = crime_uris + [u for u in test_uris if u not in set(crime_uris)]
     for branch, fa_vars in (("raw", None), ("anon", anon["fa_variables"])):
         res = extract_features(
-            fx.replace(anonymized=branch == "anon"), crime_uris,
+            fx.replace(anonymized=branch == "anon"), extract_uris,
             os.path.join(save, f"parity_features_{branch}"),
             fa_variables=fa_vars, ft_variables=anon["ft_variables"],
             batch_size=4 if dry else max(fx.batch_size, 8), decode_hw=decode_hw,
@@ -307,22 +319,39 @@ def run_parity(args) -> dict:
     fm.ABNORMAL_SPLIT["UCF"] = abnormal_split
     try:
         for branch in ("raw", "anon"):
-            # gt is per-video frame labels concatenated in crime_uris order — the
+            # gt is per-video frame labels concatenated in TEST order — the test
             # feature list MUST stay aligned with it. Resumed artifacts come back in
             # ``existing``; a video missing from both (undecodable, skipped) would
             # silently shift every later video's labels, so refuse to score.
             available = {**feats[branch].get("existing", {}), **feats[branch]["saved"]}
-            missing = [u for u in crime_uris if u not in available]
+            missing = [u for u in extract_uris if u not in available]
             if missing:
                 raise RuntimeError(
                     f"{branch}: {len(missing)} video(s) have no features (skipped or "
                     f"failed: {missing[:3]}...) — gt alignment would break; fix or "
                     "drop them from BOTH the video list and the gt before scoring"
                 )
-            paths = [available[u] for u in crime_uris]
+            train_paths = [available[u] for u in crime_uris]
+            test_paths = [available[u] for u in test_uris]
+            # Validate gt length against the actual extracted clip counts — the
+            # scorer's length-ratio interpolation fallback (ops/metrics.py) would
+            # otherwise rescale a misaligned gt into a plausible-looking garbage
+            # AUC. gt for UCF is 32 frames per clip (test.py repeat x32).
+            total_clips = sum(
+                int(np.load(p, mmap_mode="r").shape[0]) for p in test_paths
+            )
+            if len(crime_gt) != total_clips * 32:
+                raise RuntimeError(
+                    f"{branch}: gt has {len(crime_gt)} frames but the test features "
+                    f"cover {total_clips} clips = {total_clips * 32} frames — the gt "
+                    "was not built for this video list/order; rebuild it with "
+                    "scripts/make_gt.py over parity_crime_order.txt"
+                )
             lst = os.path.join(save, f"parity_{branch}.list")
-            open(lst, "w").write("\n".join(paths) + "\n")
-            mp = MGFNParams(rgb_list=lst, test_rgb_list=lst, feature_size=2048,
+            open(lst, "w").write("\n".join(train_paths) + "\n")
+            tlst = os.path.join(save, f"parity_{branch}_test.list")
+            open(tlst, "w").write("\n".join(test_paths) + "\n")
+            mp = MGFNParams(rgb_list=lst, test_rgb_list=tlst, feature_size=2048,
                             model_name=f"parity_mgfn_{branch}")
             if dry:
                 mp = mp.replace(dims=(16, 32, 64), depths=(1, 1, 1), dim_head=16,
@@ -383,13 +412,18 @@ def main() -> None:
     ap.add_argument("--ucf101_videos"), ap.add_argument("--ucf101_frames")
     ap.add_argument("--vispr_train"), ap.add_argument("--vispr_test")
     ap.add_argument("--vispr_labels", help="dir with {train,test}_labels.pkl (vispr_labels/)")
-    ap.add_argument("--crime_glob"), ap.add_argument("--crime_gt")
+    ap.add_argument("--crime_glob", help="UCF-Crime TRAINING videos glob")
+    ap.add_argument("--crime_test_glob",
+                    help="held-out test videos glob (reference test split); without it "
+                    "the MGFN AUC is measured on the training videos")
+    ap.add_argument("--crime_gt",
+                    help=".npy frame labels concatenated in parity_crime_order.txt "
+                    "order (build with scripts/make_gt.py)")
     args = ap.parse_args()
-    if args.cpu:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
-        import jax
+    from scripts._common import setup_platform
 
-        jax.config.update("jax_platforms", "cpu")
+    args.devices = 0  # setup_platform contract (base_parser field not used here)
+    setup_platform(args)
     if not args.dry_run:
         required = ["ucf101_train_list", "ucf101_val_list", "ucf101_videos",
                     "vispr_train", "vispr_test", "crime_glob", "crime_gt"]

@@ -77,20 +77,10 @@ def main() -> None:
                                  compute_dtype="float32")
     # Synthetic surveillance set: "abnormal" videos use a different procedural class
     # family than "normal" ones (SyntheticVideoReader seed//1000 structure), so MGFN has
-    # a real feature-level signal; abnormal videos FIRST (the abnormal-first list split,
-    # datasets/dataset.py:26-48). Their opening clips are marked anomalous in the gt —
-    # a pipeline plumbing check, not a benchmark.
-    uris, gts = [], []
-    n = 96
-    clips = len(range(0, n - 15 + 1, 16))
-    for i in range(3):  # abnormal family: class 7 structure
-        uris.append(f"synthetic://n={n},h=48,w=64,seed={7000 + i}")
-        m = np.zeros(clips * 32, np.float32)
-        m[: 2 * 32] = 1.0
-        gts.append(m)
-    for i in range(3):  # normal family: class 1 structure
-        uris.append(f"synthetic://n={n},h=48,w=64,seed={1000 + i}")
-        gts.append(np.zeros(clips * 32, np.float32))
+    # a real feature-level signal (shared fixture, scripts/_common.py).
+    from scripts._common import synthetic_crime_fixture
+
+    uris, gt, _split = synthetic_crime_fixture(3, 3)
     feats = extract_features(
         fx, uris, os.path.join(save, "pipe_features"),
         fa_variables=anon["fa_variables"], ft_variables=anon["ft_variables"],
@@ -101,7 +91,10 @@ def main() -> None:
     print("== stage 4/5: MGFN anomaly training on extracted features")
     import ted_spad_tpu.data.features as fm
 
-    paths = [feats["saved"][u] for u in uris]  # uris order == gt order (decode order is nondeterministic)
+    # uris order == gt order (decode order is nondeterministic). On a re-run with the
+    # same save_dir, already-extracted artifacts come back under 'existing', not 'saved'.
+    available = {**feats.get("existing", {}), **feats["saved"]}
+    paths = [available[u] for u in uris]
     train_list = os.path.join(save, "pipe_train.list")
     test_list = os.path.join(save, "pipe_test.list")
     open(train_list, "w").write("\n".join(paths) + "\n")
@@ -114,7 +107,6 @@ def main() -> None:
     )
     from ted_spad_tpu.stages.anomaly_detection import train_anomaly_detection
 
-    gt = np.concatenate(gts)
     mg = train_anomaly_detection(mp, save_dir=save, gt=gt, max_epochs=max(ep, 2), shuffle=True)
 
     print("== stage 5/5: privacy attack on anonymized images")
