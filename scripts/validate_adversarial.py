@@ -7,6 +7,11 @@ Expected: cMAP(anonymized) < cMAP(raw). Observed on the synthetic task (4 epochs
 adversarial, 3 epochs attack, CPU): 0.455 raw -> 0.418 anonymized.
 
 Usage: ``python scripts/validate_adversarial.py --cpu [--epochs 4]``
+
+``--scale reference`` runs the SAME check at the reference's production shapes
+(16-frame 224² bf16 triplets, params_anonymization.py) — on a real TPU chip this
+exercises the full-scale adversarial programs (remat resolution, HBM fit) end-to-end
+on synthetic data, not just the CPU-sized mesh shapes.
 """
 
 import os as _os
@@ -19,6 +24,8 @@ from scripts._common import base_parser, setup_platform
 
 def main() -> None:
     ap = base_parser(__doc__)
+    ap.add_argument("--scale", choices=["tiny", "reference"], default="tiny",
+                    help="'reference' = 16-frame 224^2 bf16 production shapes")
     args = ap.parse_args()
     setup_platform(args)
 
@@ -33,23 +40,39 @@ def main() -> None:
     save = args.save_dir if args.save_dir != "saved_models" else tempfile.mkdtemp()
     ep = args.epochs or 4
 
-    ano = AnonymizationParams(
-        run_id="validate_anon", num_classes=4, num_frames=8, reso_h=32, reso_w=32,
-        batch_size=2, batch_size_vispr=8, v_batch_size=2, num_modes=2,
-        compute_dtype="float32", save_acc_threshold=-1.0, learning_rate=1e-4,
-    )
+    if args.scale == "reference":
+        # Production shapes (params_anonymization.py: 16 frames 224^2, bf16). Batch 4
+        # videos + 6 VISPR pairs matches the BENCH step shapes, so a warm compile
+        # cache is reused; videos are decode-shaped 240x320, images 256-canonical.
+        ano = AnonymizationParams(
+            run_id="validate_anon", num_classes=4, batch_size=4, batch_size_vispr=6,
+            v_batch_size=4, num_modes=2, save_acc_threshold=-1.0, learning_rate=1e-4,
+        )
+        train_items = synthetic_video_items(16, 4, num_frames=96, h=240, w=320, seed=args.seed)
+        val_items = synthetic_video_items(4, 4, num_frames=96, h=240, w=320, seed=args.seed + 1)
+        vispr = SyntheticImageSource(n=24, canonical=256, seed=args.seed)
+        pp = PrivacyParams(batch_size=8, v_batch_size=8, warmup=1, learning_rate=1e-3,
+                           compute_dtype="bfloat16")
+        tr = SyntheticImageSource(n=48, canonical=256, seed=args.seed)
+        va = SyntheticImageSource(n=32, canonical=256, seed=args.seed + 1)
+    else:
+        ano = AnonymizationParams(
+            run_id="validate_anon", num_classes=4, num_frames=8, reso_h=32, reso_w=32,
+            batch_size=2, batch_size_vispr=8, v_batch_size=2, num_modes=2,
+            compute_dtype="float32", save_acc_threshold=-1.0, learning_rate=1e-4,
+        )
+        train_items = synthetic_video_items(12, 4, num_frames=48, h=48, w=64, seed=args.seed)
+        val_items = synthetic_video_items(6, 4, num_frames=48, h=48, w=64, seed=args.seed + 1)
+        vispr = SyntheticImageSource(n=32, canonical=64, seed=args.seed)
+        pp = PrivacyParams(reso_h=32, reso_w=32, batch_size=8, v_batch_size=8,
+                           compute_dtype="float32", warmup=1, learning_rate=1e-3)
+        tr = SyntheticImageSource(n=48, canonical=64, seed=args.seed)
+        va = SyntheticImageSource(n=32, canonical=64, seed=args.seed + 1)
+
     anon = train_anonymizer(
-        ano,
-        train_items=synthetic_video_items(12, 4, num_frames=48, h=48, w=64, seed=args.seed),
-        val_items=synthetic_video_items(6, 4, num_frames=48, h=48, w=64, seed=args.seed + 1),
-        vispr_source=SyntheticImageSource(n=32, canonical=64, seed=args.seed),
+        ano, train_items=train_items, val_items=val_items, vispr_source=vispr,
         save_dir=save, max_epochs=ep,
     )
-
-    pp = PrivacyParams(reso_h=32, reso_w=32, batch_size=8, v_batch_size=8,
-                       compute_dtype="float32", warmup=1, learning_rate=1e-3)
-    tr = SyntheticImageSource(n=48, canonical=64, seed=args.seed)
-    va = SyntheticImageSource(n=32, canonical=64, seed=args.seed + 1)
     raw = train_privacy(pp.replace(anon=False, run_id="validate_priv_raw"),
                         train_source=tr, val_source=va, save_dir=save, max_epochs=3,
                         log_fn=lambda s: None)

@@ -32,6 +32,8 @@ def pytest_configure(config):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: a shared mutable generator would make each test's data depend
+    # on which tests ran before it — failures would not reproduce in isolation.
     return np.random.default_rng(0)

@@ -32,9 +32,10 @@ class TestBatchPacking:
         assert total_refs == 15
         for clips, refs, _ in batches:
             assert clips.shape == (4, 4, 24, 32, 3)
-        # refs from different videos appear inside one batch (packing).
-        vids_in_first = {r.video_idx for r in batches[0][1]}
-        assert len(vids_in_first) >= 1
+        # refs from different videos appear inside one batch (packing): with 5
+        # clips/video and batch_size 4, pigeonhole forces some batch to mix videos —
+        # per-video flushing (losing the throughput win) would fail this.
+        assert any(len({r.video_idx for r in refs}) >= 2 for _, refs, _ in batches)
 
 
 @pytest.mark.slow
@@ -211,13 +212,17 @@ def test_run_parity_dry_run_chain(tmp_path):
     synthesized from the torch oracles -> converted -> all stages chained -> delta
     report written. Tiny scale; asserts plumbing, not metric quality."""
     import json
-    import sys
+    import os
     import types
 
-    sys.path.insert(0, "scripts")
     import importlib.util
 
-    spec = importlib.util.spec_from_file_location("run_parity_mod", "scripts/run_parity.py")
+    # Absolute path — the suite must pass from any cwd; run_parity.py puts the repo
+    # root on sys.path itself, so no sys.path mutation here.
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "run_parity_mod", os.path.join(root, "scripts", "run_parity.py")
+    )
     rp = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(rp)
 
@@ -226,7 +231,7 @@ def test_run_parity_dry_run_chain(tmp_path):
         seeds_dir=None, params_dir=None, fb_ssl_ckpt=None, tiny=True,
         ucf101_train_list=None, ucf101_val_list=None, ucf101_videos=None,
         ucf101_frames=None, vispr_train=None, vispr_test=None, vispr_labels=None,
-        crime_glob=None, crime_gt=None,
+        crime_glob=None, crime_test_glob=None, crime_gt=None,
     )
     report = rp.run_parity(args)
     assert set(report) >= {"cmap_raw", "cmap_anon", "cmap_delta_pct", "auc_raw",

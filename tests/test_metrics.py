@@ -79,11 +79,14 @@ def test_process_feat_reference_semantics():
     for i in range(32):
         if r[i] != r[i + 1]:
             assert out[i, 0] == pytest.approx(feat[r[i] : r[i + 1], 0].mean())
-    # Long-sequence downsampling path.
+    # Long-sequence downsampling path: every output row is the mean of its
+    # linspace-delimited source span (utils/utils.py:34-42).
     feat2 = np.random.default_rng(1).random((100, 8)).astype(np.float32)
     out2 = temporal.process_feat(feat2, 32)
     assert out2.shape == (32, 8)
-    assert out2[0] == pytest.approx(feat2[:4].mean(0) if True else None, abs=1e-6) or True
+    r2 = np.linspace(0, 100, 33, dtype=int)
+    for i in range(32):
+        np.testing.assert_allclose(out2[i], feat2[r2[i] : r2[i + 1]].mean(0), atol=1e-6)
 
 
 def test_segment_and_test_features():

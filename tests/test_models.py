@@ -155,9 +155,39 @@ class TestMGFN:
         assert scores.shape == (1, 57, 1)
 
     def test_topk_selects_high_magnitude(self):
-        # Craft features with known magnitudes; check the selected mean score matches topk.
+        # Drive msnsd (the selection mechanism, mgfn.py:18-86) directly with crafted
+        # magnitudes: the abnormal/normal scores must be the MEAN SCORE over each
+        # half's k highest-magnitude snippets, and the selected features must be
+        # those snippets' rows.
+        from ted_spad_tpu.models.mgfn import msnsd
+
+        rng = np.random.default_rng(0)
+        t, f, k = 16, 8, 3
+        feats = rng.normal(size=(2, t, f)).astype(np.float32)  # [normal; abnormal]
+        # Plant dominant magnitudes at known snippets.
+        nor_top, abn_top = [1, 4, 9], [2, 7, 13]
+        for j, s in enumerate(nor_top):
+            feats[0, s] *= 50.0 + j
+        for j, s in enumerate(abn_top):
+            feats[1, s] *= 50.0 + j
+        scores = rng.random((2, t, 1)).astype(np.float32)
+        sa, sn, abn_fm, nor_fm, out_scores = msnsd(
+            jnp.asarray(feats), jnp.asarray(scores), ncrops=1, k=k,
+            dropout_fn=lambda ones: ones, inference=False,
+        )
+        assert float(sn[0, 0]) == pytest.approx(scores[0, nor_top].mean(), rel=1e-5)
+        assert float(sa[0, 0]) == pytest.approx(scores[1, abn_top].mean(), rel=1e-5)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(nor_fm)[0], axis=0), np.sort(feats[0, nor_top], axis=0), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.sort(np.asarray(abn_fm)[0], axis=0), np.sort(feats[1, abn_top], axis=0), rtol=1e-5
+        )
+        assert out_scores.shape == (2, t, 1)
+
+    def test_mgfn_forward_scores_finite(self):
         x = np.zeros((2, 1, 32, 65), np.float32)
-        x[1, 0, 5] = 10.0  # abnormal video: snippet 5 dominant magnitude
+        x[1, 0, 5] = 10.0
         model = self._model()
         variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
         sa, sn, *_ = model.apply(variables, jnp.asarray(x))

@@ -72,10 +72,16 @@ class TestNativeReader:
             assert abs(int(seq[row].mean()) - int(expected)) <= 1
 
     def test_eof_padding(self, gray_video):
-        path, _ = gray_video
+        path, frames = gray_video
         with open_video(path) as vr:
-            seq = vr.read_strided(45, 10, 2)  # runs past EOF -> last decoded repeated
+            seq = vr.read_strided(45, 10, 2)  # valid frames 45,47,49; rest past EOF
         assert seq.shape == (10, 48, 64, 3)
+        for row, idx in enumerate((45, 47, 49)):
+            expected = limited_range(np.array(frames[idx, 0, 0, 0]))
+            assert abs(int(seq[row].mean()) - int(expected)) <= 1, (row, idx)
+        # Past-EOF rows repeat the LAST DECODED frame — not zeros/uninitialized.
+        for row in range(3, 10):
+            np.testing.assert_array_equal(seq[row], seq[2])
 
     def test_decoder_resize(self, gray_video):
         path, _ = gray_video
