@@ -56,6 +56,50 @@ def test_sharded_extraction_step_runs():
     np.testing.assert_allclose(np.asarray(feats), np.asarray(ref), rtol=2e-4, atol=1e-4)
 
 
+def test_sharded_action_train_step_matches_single_device():
+    """Action TRAIN step with the batch sharded over 8 devices: GSPMD must turn the
+    batch-axis reductions (BN batch stats, loss mean, grad mean) into collectives that
+    reproduce the single-device numbers — the DataParallel replacement for the hot
+    fine-tuning loop (train_action.py:237-240)."""
+    from ted_spad_tpu.config.params import ActionParams
+    from ted_spad_tpu.models import load_ft_model
+    from ted_spad_tpu.ops.augment import sample_augment_params
+    from ted_spad_tpu.parallel import data_parallel_mesh, replicate, shard_batch
+    from ted_spad_tpu.stages.action_training import make_train_step
+    from ted_spad_tpu.stages.common import make_optimizer
+
+    p = ActionParams(arch="largei3d", num_frames=8, reso_h=32, reso_w=32,
+                     batch_size=8, compute_dtype="float32")
+    model, variables = load_ft_model("largei3d", num_classes=4, clip_shape=(8, 32, 32),
+                                     dtype="float32")
+    opt = make_optimizer(p.opt_type, p.learning_rate, p.weight_decay)
+    st = opt.init(variables["params"])
+    step = make_train_step(model, opt, p)
+    r = np.random.default_rng(0)
+    clips = jnp.asarray(r.integers(0, 255, (8, 1, 8, 48, 64, 3), dtype=np.uint8))
+    labels = jnp.zeros((8,), jnp.int32)
+    aug = sample_augment_params(np.random.default_rng(1), 8, 48, 64, 32, 32).to_device()
+    key = jax.random.PRNGKey(0)
+
+    nv1, _, loss1 = step(variables, st, key, clips, labels, aug)
+
+    mesh = data_parallel_mesh()
+    vr, sr = replicate(mesh, variables), replicate(mesh, st)
+    sh = lambda x: shard_batch(mesh, x)
+    nv8, _, loss8 = step(vr, sr, key, sh(clips), sh(labels), jax.tree.map(sh, aug))
+
+    assert float(loss8) == pytest.approx(float(loss1), rel=1e-4)
+    l1 = jax.tree_util.tree_leaves(nv1["params"])[0]
+    l8 = jax.tree_util.tree_leaves(nv8["params"])[0]
+    np.testing.assert_allclose(np.asarray(l8), np.asarray(l1), rtol=1e-4, atol=1e-6)
+    bs1 = jax.tree_util.tree_leaves(nv1.get("batch_stats", {}))
+    bs8 = jax.tree_util.tree_leaves(nv8.get("batch_stats", {}))
+    for a, b in zip(bs1, bs8):
+        # f32 batch-stat means/vars reduce in shard order under GSPMD — identical
+        # math, different summation order; tolerance covers the reassociation noise.
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5)
+
+
 def test_fa_step_gradient_accumulation_runs():
     """accum_steps microbatching (stages/anonymization_training.py) produces finite losses
     and updates params on the CPU mesh."""
