@@ -30,9 +30,11 @@ makes the core budget measurable instead of assumed (the reference never had thi
 problem: DALI decoded on GPU NVDEC at GPU pace, dali_extraction.py:53-81).
 
 ``detail.adversarial_fa_step_ms`` / ``adversarial_fbft_step_ms`` /
-``action_train_step_ms``: honest device time for the training hot loops
-(train_anonymizer.py:32-197; train_action.py:28-105) at reference shape (16 frames,
-224², bf16). Remat follows the production default ``remat='auto'`` — resolved OFF
+``action_train_step_ms`` (+ ``privacy_train_step_ms`` / ``recon_train_step_ms`` /
+``mgfn_train_step_ms``): honest device time for every stage's training hot loop
+(train_anonymizer.py:32-197; train_action.py:28-105; train_privacy.py:29-68;
+train_reconstruction.py:26-59; anomaly_detection_mgfn/train.py:79-108) at reference
+shapes (16 frames, 224², bf16; MGFN B=16+16 ncrops=10 f32). Remat follows the production default ``remat='auto'`` — resolved OFF
 at this B=4 scale (detail.adversarial_remat records the resolved value) — so the
 metric tracks what the driver actually runs, not a fixed remat configuration.
 
