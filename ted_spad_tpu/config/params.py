@@ -192,7 +192,9 @@ class AnonymizationParams(VideoParams):
     # Rematerialization of fa/ft/fb activations in the adversarial backwards.
     # "auto" (default): off when the traced batch is small enough to fit a v5e's
     # HBM without it (measured: B=4 @ 16x224² fits and runs 16% faster un-remated,
-    # 276 vs 329 ms/step; B=8 OOMs) — "on"/"off" force it.
+    # 276 vs 329 ms/step; B=8 OOMs) — "on"/"off" force it. "blocks": save the fa
+    # UNet++ block boundaries and rematerialize only within-block intermediates
+    # (jax.checkpoint save_only_these_names policy; memory between on and off).
     remat: str = "auto"
 
     # Reproduce the reference's scrambled fa-input reshape (train_anonymizer.py:86-92;

@@ -28,6 +28,27 @@ import numpy as np
 
 Array = jax.Array
 
+# Remat boundary names emitted by ``fast_unetpp_train_apply`` (jax.ad_checkpoint
+# checkpoint_name identities — numerically inert). With
+# ``jax.checkpoint(policy=save_only_these_names(*TRAIN_REMAT_SAVE_NAMES))`` the
+# adversarial backward keeps only these encoder features and decoder block
+# outputs resident and rematerializes the within-block conv/BN intermediates —
+# memory between full remat and none, backward recompute limited to one block
+# at a time (stages/anonymization_training.py remat='blocks').
+TRAIN_REMAT_SAVE_NAMES = (
+    "fa_enc_f0",
+    "fa_enc_f1",
+    "fa_enc_f2",
+    "fa_enc_f3",
+    "fa_blk_x_0_0",
+    "fa_blk_x_1_1",
+    "fa_blk_x_2_2",
+    "fa_blk_x_0_1",
+    "fa_blk_x_1_2",
+    "fa_blk_x_0_2",
+    "fa_blk_x_0_3",
+)
+
 # Fine->coarse tap mixing per output parity: rows index the coarse offset (-1,0,+1),
 # cols the fine kernel tap. Parity 0 fine taps {-1,0,1} land on coarse {-1,0,0};
 # parity 1 taps land on coarse {0,0,+1}.
@@ -302,6 +323,8 @@ def fast_unetpp_train_apply(variables: dict, frames: Array, *, encoder_module, d
     BN statistics computed from them — match the module to float tolerance, and
     gradients flow through the (linear) kernel transforms to the original params.
     """
+    from jax.ad_checkpoint import checkpoint_name
+
     p, st = variables["params"], variables["batch_stats"]
     in_h, in_w = frames.shape[-3], frames.shape[-2]
     enc_vars = {"params": p["encoder"], "batch_stats": st["encoder"]}
@@ -309,7 +332,10 @@ def fast_unetpp_train_apply(variables: dict, frames: Array, *, encoder_module, d
         enc_vars, frames, train=True, mutable=["batch_stats"]
     )
     new_stats: dict = {"encoder": enc_mut["batch_stats"]}
-    f = feats[1:][::-1]
+    f = [
+        checkpoint_name(t, f"fa_enc_f{i}")
+        for i, t in enumerate(feats[1:][::-1])
+    ]
 
     def blk(name, xin, skip_sum):
         ww = p[name]["conv1"]["conv"]["kernel"]
@@ -321,7 +347,7 @@ def fast_unetpp_train_apply(variables: dict, frames: Array, *, encoder_module, d
         y = _conv(y, p[name]["conv2"]["conv"]["kernel"], dtype)
         y, s2 = _convbn_train(y, p[name]["conv2"], st[name]["conv2"], dtype)
         new_stats[name] = {"conv1": s1, "conv2": s2}
-        return y
+        return checkpoint_name(y, "fa_blk_" + name)
 
     x_0_3 = _decoder_schedule(p, f, dtype, blk)
     if x_0_3.shape[-3:-1] != (in_h, in_w):

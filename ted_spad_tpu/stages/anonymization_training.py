@@ -54,7 +54,13 @@ from ted_spad_tpu.stages.common import epoch_mean, make_optimizer, set_learning_
 from ted_spad_tpu.utils.checkpoint import BestCheckpointer, save_checkpoint, save_temp
 
 
-def _anon_frames(fa_model, fa_vars, video, train: bool, rng=None, remat: bool = True,
+def _fa_block_policy():
+    from ted_spad_tpu.ops.fast_unetpp import TRAIN_REMAT_SAVE_NAMES
+
+    return jax.checkpoint_policies.save_only_these_names(*TRAIN_REMAT_SAVE_NAMES)
+
+
+def _anon_frames(fa_model, fa_vars, video, train: bool, rng=None, remat=True,
                  quirk: bool = False):
     """fa over every frame of (B, V, T, h, w, C); returns same shape, f32.
 
@@ -62,6 +68,11 @@ def _anon_frames(fa_model, fa_vars, video, train: bool, rng=None, remat: bool = 
     reference scale (8 videos x 3 views x 16 frames at 224², params_anonymization.py) the
     un-checkpointed backward exceeds a v5e chip's 16GB HBM; remat trades ~1 extra forward
     for sub-linear activation memory (the AMP-era GPU memory trick's TPU counterpart).
+    ``remat="blocks"``: checkpoint with a save_only_these_names policy over the fused
+    UNet++ block boundaries (ops/fast_unetpp.TRAIN_REMAT_SAVE_NAMES) — encoder features
+    and decoder block outputs stay resident, only within-block conv/BN intermediates are
+    rematerialized; memory between "on" and "off". On the module fallback path no named
+    residuals exist, so "blocks" degrades to full remat.
 
     ``quirk``: reproduce the reference's scrambled fa input (train_anonymizer.py:86-92):
     fa sees 3-slice same-channel time bundles instead of RGB frames, then the output is
@@ -90,19 +101,20 @@ def _anon_frames(fa_model, fa_vars, video, train: bool, rng=None, remat: bool = 
     # Fused decoder forms (exact weight re-binnings) in train AND eval; the fast
     # apply falls back to the module for non-standard calls (rngs, odd sizes).
     fast = make_fast_fa_apply(fa_model, fa_vars)
+    policy = _fa_block_policy() if remat == "blocks" else None
     if train:
         def apply_fn(variables, x):
             return fast(variables, x, train=True, mutable=["batch_stats"], **kwargs)
 
         if remat:
-            apply_fn = jax.checkpoint(apply_fn)
+            apply_fn = jax.checkpoint(apply_fn, policy=policy)
         out, mutated = apply_fn(fa_vars, frames)
         if unscramble is not None:
             return unscramble(out), mutated
         return out.reshape(lead + out.shape[-3:]), mutated
     apply_fn = lambda variables, x: fast(variables, x, train=False)
     if remat:
-        apply_fn = jax.checkpoint(apply_fn)
+        apply_fn = jax.checkpoint(apply_fn, policy=policy)
     out = apply_fn(fa_vars, frames)
     if unscramble is not None:
         return unscramble(out), None
@@ -110,9 +122,11 @@ def _anon_frames(fa_model, fa_vars, video, train: bool, rng=None, remat: bool = 
 
 
 def _ft_losses(ft_model, ft_vars, anon_clips, labels, p: AnonymizationParams, train: bool, rng=None,
-               remat: bool = True):
+               remat=True):
     """CE + weighted triplet over the anonymized (B, 3, T, h, w, C) views
-    (train_anonymizer.py:99-116). One batched ft forward over all views."""
+    (train_anonymizer.py:99-116). One batched ft forward over all views.
+    Any truthy ``remat`` (incl. 'blocks') is full remat here — ft emits no named
+    residuals; fa is where block granularity pays (the per-frame 224² UNet++)."""
     b, v = anon_clips.shape[:2]
     flat = anon_clips.reshape((b * v,) + anon_clips.shape[2:])
     kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
@@ -144,7 +158,7 @@ def _ft_losses(ft_model, ft_vars, anon_clips, labels, p: AnonymizationParams, tr
 
 
 def _fb_loss(fb_model, fb_vars, anon_pair, p: AnonymizationParams, train: bool,
-             remat: bool = True):
+             remat=True):
     """NT-Xent over the two anonymized VISPR views (train_anonymizer.py:78-84)."""
     ckpt = jax.checkpoint if remat else (lambda f: f)
     if train:
@@ -161,15 +175,19 @@ def _fb_loss(fb_model, fb_vars, anon_pair, p: AnonymizationParams, train: bool,
     return nt_xent_loss(z1, z2, p.nt_xent_temperature, p.nt_xent_cosine), mutated
 
 
-def _resolve_remat(p: AnonymizationParams, clips, vispr1) -> bool:
+def _resolve_remat(p: AnonymizationParams, clips, vispr1):
     """p.remat='auto': skip rematerialization when the traced batch fits HBM
     without it — measured on a 16 GB v5e: B=4 @ 3 views x 16 frames x 224² (+12
     VISPR pairs) fits and runs ~16% faster (276 vs 329 ms/step); B=8 OOMs. The
-    12M frame-pixel threshold is the measured-fits point."""
+    12M frame-pixel threshold is the measured-fits point.
+    'on'/'off' force full/no remat; 'blocks' keeps the fa block boundaries
+    resident (see _anon_frames)."""
     if p.remat == "on":
         return True
     if p.remat == "off":
         return False
+    if p.remat == "blocks":
+        return "blocks"
     frames = clips.shape[0] * clips.shape[1] * clips.shape[2] + 2 * vispr1.shape[0]
     return frames * clips.shape[-3] * clips.shape[-2] > 12_000_000
 

@@ -194,6 +194,71 @@ def test_anonymization_stage_e2e(tmp_path):
     assert res["best_path"] is not None  # threshold disabled -> best saved
 
 
+def test_fa_step_remat_blocks_matches_full_remat():
+    """remat='blocks' (save_only_these_names over the fused UNet++ boundaries,
+    ops/fast_unetpp.TRAIN_REMAT_SAVE_NAMES) is a scheduling policy, not a math
+    change: the fa step must produce the same losses and updated params as full
+    remat. Also pins that the fused train path actually emits the named
+    boundaries at a standard shape (else the policy silently degrades to full
+    remat everywhere and the mode is untestable)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ted_spad_tpu.models import load_fa_model, load_fb_model, load_ft_model
+    from ted_spad_tpu.stages.anonymization_training import make_fa_step
+    from ted_spad_tpu.stages.common import make_optimizer
+
+    p = AnonymizationParams(
+        num_classes=4, num_frames=8, reso_h=32, reso_w=32, compute_dtype="float32",
+        remat="on",
+    )
+    fa_model, fa_vars = load_fa_model(image_size=(32, 32), dtype="float32")
+    ft_model, ft_vars = load_ft_model(
+        "largei3d", num_classes=4, clip_shape=(8, 32, 32), dtype="float32"
+    )
+    fb_model, fb_vars = load_fb_model(ssl=True, image_size=(32, 32), dtype="float32")
+
+    from ted_spad_tpu.ops.fast_unetpp import (
+        TRAIN_REMAT_SAVE_NAMES,
+        fast_unetpp_train_apply,
+    )
+    from ted_spad_tpu.models.resnet2d import ResNet2D
+
+    enc = ResNet2D(block="basic", layers=(2, 2, 2, 2), depth=4, dtype=jnp.float32)
+    jaxpr = str(
+        jax.make_jaxpr(
+            lambda v, x: fast_unetpp_train_apply(v, x, encoder_module=enc, dtype=jnp.float32)
+        )(fa_vars, jnp.zeros((2, 32, 32, 3)))
+    )
+    for name in TRAIN_REMAT_SAVE_NAMES:
+        assert name in jaxpr, f"boundary {name} not emitted by the fused train apply"
+
+    opt_fa = make_optimizer("adam", 1e-3)
+    st = opt_fa.init(fa_vars["params"])
+    r = np.random.default_rng(0)
+    v1 = jnp.asarray(r.random((4, 32, 32, 3)).astype(np.float32))
+    v2 = jnp.asarray(r.random((4, 32, 32, 3)).astype(np.float32))
+    clips = jnp.asarray(r.random((2, 3, 8, 32, 32, 3)).astype(np.float32))
+    labels = jnp.asarray(r.integers(0, 4, 2))
+    key = jax.random.PRNGKey(0)
+
+    results = {}
+    for mode in ("on", "blocks"):
+        pm = dataclasses.replace(p, remat=mode)
+        step = make_fa_step(fa_model, fb_model, ft_model, opt_fa, pm)
+        new_fa, _, *losses = step(fa_vars, st, fb_vars, ft_vars, key, v1, v2, clips, labels)
+        results[mode] = (np.asarray([float(x) for x in losses]), new_fa["params"])
+
+    np.testing.assert_allclose(results["blocks"][0], results["on"][0], rtol=1e-5, atol=1e-7)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(results["on"][1]),
+        jax.tree_util.tree_leaves(results["blocks"][1]),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-7)
+
+
 def test_framewise_aug_params_per_frame():
     """frame_wise_aug resamples color params per frame but keeps per-clip crops
     (ucf101_dl.py:127-135)."""
