@@ -39,6 +39,18 @@ _LAYER_SPECS = (
     (512, 3, 2, (0, 1, 0)),
 )
 
+# Remat boundary names (jax.ad_checkpoint checkpoint_name identities — numerically
+# inert, dropped at lowering) emitted by ``features_from_stem``: the stem output and
+# the layer2-4 residual-block outputs. layer1's 56² outputs are deliberately NOT in
+# the save set — at training batch sizes they are the bulk of the activation memory,
+# so under ``remat='blocks'`` (stages/anonymization_training.py) they rematerialize
+# while the cheap deep boundaries stay resident.
+FT_REMAT_SAVE_NAMES = ("ft_stem",) + tuple(
+    f"ft_blk_l{li + 1}_{bi}"
+    for li in (1, 2, 3)
+    for bi in range(_LAYER_SPECS[li][1])
+)
+
 
 class Bottleneck3D(nn.Module):
     """large_i3d.py:42-84: (1+2tc,1,1) temporal conv -> (1,3,3) spatial stride -> 1x1x1 x4."""
@@ -159,6 +171,9 @@ class I3Res50(nn.Module):
         """Backbone from the stem's output onward — entry point for the space-to-depth
         fast stem (ops/fast_i3d.py), which computes the lane-starved (5,7,7) Cin=3 stem
         conv externally with exactly re-binned taps."""
+        from jax.ad_checkpoint import checkpoint_name
+
+        x = checkpoint_name(x, "ft_stem")
         x = max_pool_valid(x, (2, 3, 3), (2, 2, 2))
         for bi in range(_LAYER_SPECS[0][1]):
             x = self.blocks[f"layer1_{bi}"](x, train, frozen_bn)
@@ -166,6 +181,7 @@ class I3Res50(nn.Module):
         for li in (1, 2, 3):
             for bi in range(_LAYER_SPECS[li][1]):
                 x = self.blocks[f"layer{li + 1}_{bi}"](x, train, frozen_bn)
+                x = checkpoint_name(x, f"ft_blk_l{li + 1}_{bi}")
         return global_avg_pool(x)  # (B, 2048) f32
 
     def __call__(self, x: Array, train: bool = False, frozen_bn: bool = False) -> tuple[Array, Array]:

@@ -54,10 +54,16 @@ from ted_spad_tpu.stages.common import epoch_mean, make_optimizer, set_learning_
 from ted_spad_tpu.utils.checkpoint import BestCheckpointer, save_checkpoint, save_temp
 
 
-def _fa_block_policy():
+def _block_policy():
+    """save_only_these_names over the fa UNet++ and ft I3Res50 boundary names.
+    One shared policy: names absent from a given checkpointed function are simply
+    never matched there (e.g. fb emits none — full remat for fb)."""
+    from ted_spad_tpu.models.i3res50 import FT_REMAT_SAVE_NAMES
     from ted_spad_tpu.ops.fast_unetpp import TRAIN_REMAT_SAVE_NAMES
 
-    return jax.checkpoint_policies.save_only_these_names(*TRAIN_REMAT_SAVE_NAMES)
+    return jax.checkpoint_policies.save_only_these_names(
+        *TRAIN_REMAT_SAVE_NAMES, *FT_REMAT_SAVE_NAMES
+    )
 
 
 def _anon_frames(fa_model, fa_vars, video, train: bool, rng=None, remat=True,
@@ -101,7 +107,7 @@ def _anon_frames(fa_model, fa_vars, video, train: bool, rng=None, remat=True,
     # Fused decoder forms (exact weight re-binnings) in train AND eval; the fast
     # apply falls back to the module for non-standard calls (rngs, odd sizes).
     fast = make_fast_fa_apply(fa_model, fa_vars)
-    policy = _fa_block_policy() if remat == "blocks" else None
+    policy = _block_policy() if remat == "blocks" else None
     if train:
         def apply_fn(variables, x):
             return fast(variables, x, train=True, mutable=["batch_stats"], **kwargs)
@@ -125,12 +131,15 @@ def _ft_losses(ft_model, ft_vars, anon_clips, labels, p: AnonymizationParams, tr
                remat=True):
     """CE + weighted triplet over the anonymized (B, 3, T, h, w, C) views
     (train_anonymizer.py:99-116). One batched ft forward over all views.
-    Any truthy ``remat`` (incl. 'blocks') is full remat here — ft emits no named
-    residuals; fa is where block granularity pays (the per-frame 224² UNet++)."""
+    ``remat='blocks'`` keeps the I3Res50 stem/layer2-4 boundaries resident
+    (models/i3res50.FT_REMAT_SAVE_NAMES; layer1's 56² outputs rematerialize)."""
     b, v = anon_clips.shape[:2]
     flat = anon_clips.reshape((b * v,) + anon_clips.shape[2:])
     kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
-    ckpt = jax.checkpoint if remat else (lambda f: f)
+    if remat == "blocks":
+        ckpt = lambda f: jax.checkpoint(f, policy=_block_policy())
+    else:
+        ckpt = jax.checkpoint if remat else (lambda f: f)
     if train:
         def apply_fn(variables, x):
             return ft_model.apply(variables, x, train=True, mutable=["batch_stats"], **kwargs)

@@ -194,6 +194,7 @@ def test_anonymization_stage_e2e(tmp_path):
     assert res["best_path"] is not None  # threshold disabled -> best saved
 
 
+@pytest.mark.slow
 def test_fa_step_remat_blocks_matches_full_remat():
     """remat='blocks' (save_only_these_names over the fused UNet++ boundaries,
     ops/fast_unetpp.TRAIN_REMAT_SAVE_NAMES) is a scheduling policy, not a math
@@ -244,6 +245,19 @@ def test_fa_step_remat_blocks_matches_full_remat():
     labels = jnp.asarray(r.integers(0, 4, 2))
     key = jax.random.PRNGKey(0)
 
+    from ted_spad_tpu.models.i3res50 import FT_REMAT_SAVE_NAMES
+
+    ft_jaxpr = str(
+        jax.make_jaxpr(
+            lambda v, x: ft_model.apply(
+                v, x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+        )(ft_vars, jnp.zeros((1, 8, 32, 32, 3)))
+    )
+    for name in FT_REMAT_SAVE_NAMES:
+        assert name in ft_jaxpr, f"boundary {name} not emitted by I3Res50"
+
     results = {}
     for mode in ("on", "blocks"):
         pm = dataclasses.replace(p, remat=mode)
@@ -257,6 +271,34 @@ def test_fa_step_remat_blocks_matches_full_remat():
         jax.tree_util.tree_leaves(results["blocks"][1]),
     ):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-7)
+
+    # Same check for the fused fb/ft update (the trained-ft backward is where the
+    # I3Res50 boundary policy applies).
+    from ted_spad_tpu.stages.anonymization_training import make_fbft_step
+
+    fbft_results = {}
+    for mode in ("on", "blocks"):
+        pm = dataclasses.replace(p, remat=mode)
+        opt_fb = make_optimizer("adam", 1e-3)
+        opt_ft = make_optimizer("adam", 1e-3)
+        st_fb, st_ft = opt_fb.init(fb_vars["params"]), opt_ft.init(ft_vars["params"])
+        step = make_fbft_step(fa_model, fb_model, ft_model, opt_fb, opt_ft, pm)
+        new_fb, new_ft, _, _, *losses = step(
+            fa_vars, fb_vars, ft_vars, st_fb, st_ft, key, v1, v2, clips, labels
+        )
+        fbft_results[mode] = (
+            np.asarray([float(x) for x in losses]),
+            new_fb["params"],
+            new_ft["params"],
+        )
+
+    np.testing.assert_allclose(fbft_results["blocks"][0], fbft_results["on"][0], rtol=1e-5, atol=1e-7)
+    for tree_i in (1, 2):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(fbft_results["on"][tree_i]),
+            jax.tree_util.tree_leaves(fbft_results["blocks"][tree_i]),
+        ):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-7)
 
 
 def test_framewise_aug_params_per_frame():
