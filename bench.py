@@ -219,7 +219,9 @@ def main() -> None:
         detail_top["adversarial_batch"] = bt
         from ted_spad_tpu.stages.anonymization_training import _resolve_remat
 
-        detail_top["adversarial_remat"] = bool(_resolve_remat(ap, tr_clips, va))
+        # bool for on/off; the string 'blocks' passes through as-is.
+        resolved = _resolve_remat(ap, tr_clips, va)
+        detail_top["adversarial_remat"] = resolved if isinstance(resolved, str) else bool(resolved)
     except Exception as e:  # noqa: BLE001
         detail_top["adversarial_step_error"] = repr(e)
 
