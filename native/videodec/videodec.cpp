@@ -251,7 +251,15 @@ extern "C" {
 const char* vd_last_error() { return g_last_error.c_str(); }
 
 // Open a video; out_w/out_h == 0 keeps native resolution.
-void* vd_open(const char* path, int out_w, int out_h) {
+// threads: decoder thread_count (0 = libavcodec auto). The extraction pool gets its
+// parallelism from one decoder per worker thread, so threads=1 avoids per-decoder
+// frame-thread oversubscription on many-core hosts; auto is kept as the vd_open
+// default for single-video consumers (visualization, ad-hoc reads).
+// fast != 0: skip the h264/hevc in-loop deblocking filter and enable non-bitexact
+// codec speedups (AV_CODEC_FLAG2_FAST). NOT bit-exact with reference decode —
+// opt-in for throughput-bound feature extraction where frames are resized to 224²
+// downstream (dali_extraction.py:38-50) and deblocking artifacts are sub-pixel noise.
+void* vd_open_opts(const char* path, int out_w, int out_h, int threads, int fast) {
   auto dec = new Decoder();
   int ret = avformat_open_input(&dec->fmt, path, nullptr, nullptr);
   if (ret < 0) {
@@ -280,7 +288,11 @@ void* vd_open(const char* path, int out_w, int out_h) {
   }
   dec->codec = avcodec_alloc_context3(codec);
   avcodec_parameters_to_context(dec->codec, st->codecpar);
-  dec->codec->thread_count = 0;  // auto
+  dec->codec->thread_count = threads;  // 0 = auto
+  if (fast) {
+    dec->codec->skip_loop_filter = AVDISCARD_ALL;
+    dec->codec->flags2 |= AV_CODEC_FLAG2_FAST;
+  }
   if (avcodec_open2(dec->codec, codec, nullptr) < 0) {
     g_last_error = "avcodec_open2 failed";
     delete dec;
@@ -301,6 +313,10 @@ void* vd_open(const char* path, int out_w, int out_h) {
     return nullptr;
   }
   return dec;
+}
+
+void* vd_open(const char* path, int out_w, int out_h) {
+  return vd_open_opts(path, out_w, out_h, /*threads=*/0, /*fast=*/0);
 }
 
 void vd_close(void* h) { delete static_cast<Decoder*>(h); }

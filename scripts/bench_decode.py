@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--clips", type=int, default=24)
     ap.add_argument("--clip_len", type=int, default=16)
     ap.add_argument("--stride", type=int, default=2)
+    ap.add_argument("--fast", action="store_true",
+                    help="skip the h264 in-loop deblocking filter (measured ~8% faster)")
+    ap.add_argument("--threads", type=int, default=0,
+                    help="decoder thread_count (0 = libavcodec auto; pools use 1)")
     args = ap.parse_args()
     if not native_available():
         print("native videodec unavailable; nothing to measure")
@@ -64,7 +68,7 @@ def main():
     rand_starts = rng.integers(0, args.frames - span, args.clips)
     nf = args.clips * args.clip_len
 
-    vr = open_video(path)
+    vr = open_video(path, threads=args.threads, fast=args.fast)
     bench("sequential", lambda: [vr.read_strided(int(s), args.clip_len, args.stride) for s in starts], nf)
     bench("random", lambda: [vr.read_strided(int(s), args.clip_len, args.stride) for s in rand_starts], nf)
     bench("backward", lambda: [vr.read_strided(int(s), args.clip_len, args.stride) for s in starts[::-1]], nf)

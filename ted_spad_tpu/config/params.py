@@ -266,6 +266,11 @@ class FeatureExtractionParams(StageParams):
     # clean per-frame fa, then a reinterpreting reshape scrambles what ft sees) for
     # feature-level A/B debugging. Default off: clean layout end to end.
     quirk_compat: bool = False
+    # Skip the h264/hevc in-loop deblocking filter during host decode (+ non-bitexact
+    # codec speedups). Measured ~8% faster software decode; NOT bit-exact with
+    # reference decode — frames differ at sub-pixel level before the 224² resize.
+    # Opt-in for decode-bound extraction.
+    decode_fast: bool = False
     # DALI-equivalent windowing (dali_extraction.py:72-73): 16 frames, stride 2, step 32.
     @property
     def clip_stride(self) -> int:

@@ -35,6 +35,14 @@ def _load_library():
         lib = ctypes.CDLL(_LIB_PATH)
         lib.vd_open.restype = ctypes.c_void_p
         lib.vd_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        lib.vd_open_opts.restype = ctypes.c_void_p
+        lib.vd_open_opts.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
         lib.vd_close.argtypes = [ctypes.c_void_p]
         lib.vd_num_frames.restype = ctypes.c_int64
         lib.vd_num_frames.argtypes = [ctypes.c_void_p]
@@ -102,14 +110,23 @@ def native_available() -> bool:
 
 
 class VideoReader:
-    """Random-access + strided frame reader over one video file (RGB24 numpy out)."""
+    """Random-access + strided frame reader over one video file (RGB24 numpy out).
 
-    def __init__(self, path: str, out_w: int = 0, out_h: int = 0):
+    ``threads``: decoder thread_count (0 = libavcodec auto). Pool-driven consumers
+    (extraction/training loaders, one decoder per worker) pass 1 to avoid
+    per-decoder frame-thread oversubscription on many-core hosts.
+    ``fast``: skip the h264/hevc in-loop deblocking filter (+ non-bitexact codec
+    speedups) — NOT bit-exact with reference decode; opt-in for throughput-bound
+    extraction where frames are resized to 224² downstream.
+    """
+
+    def __init__(self, path: str, out_w: int = 0, out_h: int = 0,
+                 threads: int = 0, fast: bool = False):
         lib = _load_library()
         if lib is None:
             raise RuntimeError(f"native videodec unavailable: {_lib_error}")
         self._lib = lib
-        self._h = lib.vd_open(path.encode(), out_w, out_h)
+        self._h = lib.vd_open_opts(path.encode(), out_w, out_h, threads, int(fast))
         if not self._h:
             raise IOError(f"cannot open {path}: {lib.vd_last_error().decode()}")
         self.path = path
@@ -290,9 +307,11 @@ class SyntheticVideoReader:
         pass
 
 
-def open_video(path: str, out_w: int = 0, out_h: int = 0):
+def open_video(path: str, out_w: int = 0, out_h: int = 0,
+               threads: int = 0, fast: bool = False):
     """Open a real video if the native layer is up; ``synthetic://n=N,h=H,w=W,seed=S`` URIs
-    produce procedural videos for tests."""
+    produce procedural videos for tests. ``threads``/``fast`` as in VideoReader
+    (ignored by the synthetic reader)."""
     if path.startswith("synthetic://"):
         kv = dict(part.split("=") for part in path[len("synthetic://") :].split(",") if part)
         return SyntheticVideoReader(
@@ -301,7 +320,7 @@ def open_video(path: str, out_w: int = 0, out_h: int = 0):
             width=int(kv.get("w", 320)),
             seed=int(kv.get("seed", 0)),
         )
-    return VideoReader(path, out_w, out_h)
+    return VideoReader(path, out_w, out_h, threads=threads, fast=fast)
 
 
 class VideoWriter:

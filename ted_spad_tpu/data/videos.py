@@ -247,7 +247,7 @@ class ClipDataset:
         reference's per-clip try/except->None fixture (ucf101_dl.py:143-146)."""
         rng = np.random.default_rng(seed)
         try:
-            vr = open_video(item.uri, self.decode_w, self.decode_h)
+            vr = open_video(item.uri, self.decode_w, self.decode_h, threads=1)
             n = len(vr)
             if self.views == 1:
                 idx_sets = [sample_train_clip(rng, n, self.p.num_frames, self.p.fix_skip)]
@@ -349,7 +349,7 @@ class ValClipDataset:
 
     def _load_one(self, item: VideoItem) -> np.ndarray | None:
         try:
-            vr = open_video(item.uri, self.decode_w, self.decode_h)
+            vr = open_video(item.uri, self.decode_w, self.decode_h, threads=1)
             # Loader selection follows the reference (train_action.py:335-339,
             # train_anonymizer.py:464-467): the CONTRASTIVE val loader — the one with
             # the palindrome rule (ucf101_dl.py:823-833, skipped under threecrop) —

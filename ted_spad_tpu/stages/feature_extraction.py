@@ -88,7 +88,12 @@ def iter_clip_batches(
 
     def decode_video(vi: int):
         uri = video_uris[vi]
-        vr = open_video(uri, decode_hw[1], decode_hw[0])
+        # threads=1: this pool is the parallelism (one decoder per worker); libavcodec
+        # auto frame-threading on top would oversubscribe many-core hosts.
+        vr = open_video(
+            uri, decode_hw[1], decode_hw[0],
+            threads=1, fast=getattr(p, "decode_fast", False),
+        )
         starts = video_clip_starts(len(vr), p.num_frames, p.clip_stride, p.clip_step)
         if decode_mode == "yuv":
             cs = getattr(vr, "colorspace", 0)  # per-video property — check once

@@ -130,3 +130,40 @@ class TestMp4Encoder:
         assert (vr.width, vr.height) == (160, 120)
         assert len(vr) == 5
         vr.close()
+
+
+@needs_native
+class TestDecodeOpts:
+    """vd_open_opts: decoder threads + fast (loop-filter-skip) mode."""
+
+    def _fixture(self, tmp_path):
+        from ted_spad_tpu.data.video_reader import SyntheticVideoReader, write_mp4
+
+        frames = SyntheticVideoReader(num_frames=40, height=120, width=160, seed=7).get_batch(range(40))
+        return write_mp4(str(tmp_path / "opts.mp4"), frames, fps=25)
+
+    def test_threads_one_bit_identical(self, tmp_path):
+        from ted_spad_tpu.data.video_reader import VideoReader
+
+        p = self._fixture(tmp_path)
+        auto = VideoReader(p)
+        one = VideoReader(p, threads=1)
+        a, b = auto.get_batch(range(40)), one.get_batch(range(40))
+        auto.close(), one.close()
+        np.testing.assert_array_equal(a, b)  # threading never changes decoded pixels
+
+    def test_fast_mode_decodes_near_identical(self, tmp_path):
+        """fast=True (skip_loop_filter) must keep frame count/shape and stay visually
+        indistinguishable — deblocking only shifts pixels at block borders. Guards
+        against the flag accidentally dropping frames (skip_frame-style discards)."""
+        from ted_spad_tpu.data.video_reader import VideoReader
+
+        p = self._fixture(tmp_path)
+        norm = VideoReader(p)
+        fast = VideoReader(p, threads=1, fast=True)
+        a, b = norm.get_batch(range(40)), fast.get_batch(range(40))
+        norm.close(), fast.close()
+        assert a.shape == b.shape == (40, 120, 160, 3)
+        mse = np.mean((a.astype(np.float32) - b.astype(np.float32)) ** 2)
+        psnr = 10 * np.log10(255.0**2 / max(mse, 1e-9))
+        assert psnr > 35.0, psnr  # near-identical, not bit-identical
