@@ -424,6 +424,18 @@ def main() -> None:
                 n += len(refs)
             detail["decode_yuv_clips_per_sec"] = round(n / max(time.perf_counter() - t0, 1e-9), 3)
 
+            # Opt-in decode_fast rate (skip the h264 loop filter; not bit-exact —
+            # README divergences): the cheapest host decode when extraction is
+            # decode-bound and sub-pixel frame fidelity is acceptable.
+            t0 = time.perf_counter()
+            n = 0
+            for clips_b, refs, _ in iter_clip_batches(
+                sweep_uris, p.replace(decode_fast=True), batch,
+                num_workers=min(8, max(cores, 4)),
+            ):
+                n += len(refs)
+            detail["decode_fast_clips_per_sec"] = round(n / max(time.perf_counter() - t0, 1e-9), 3)
+
             # Host->device bandwidth: contextualizes the e2e figure — through the dev
             # tunnel this is the e2e bottleneck; on a TPU-attached host it is not.
             buf = np.zeros((batch, 16, 240, 320, 3), np.uint8)
