@@ -117,3 +117,82 @@ def make_fast_ft_forward(ft_model):
     __call__ (action/anonymizer eval sweeps, train_action.py:330-381) with the stem
     computed s2d-fast."""
     return _make_fast(ft_model, "forward_from_stem", None)
+
+
+def make_fast_ft_train_forward(ft_model):
+    """TRAIN-mode forward with the s2d fast stem:
+    ``fwd(variables, x, rng=None, frozen_bn=False) -> ((logits, emb), mutated)``,
+    drop-in for ``module.apply(..., train=True, mutable=["batch_stats"], rngs=...)``
+    (action/anonymizer ft-training hot paths, train_action.py:28-105,
+    train_anonymizer.py:151-193).
+
+    The stem conv runs on the space-to-depth layout with exactly re-binned taps
+    (``stem_s2d_kernel``; 12 input lanes instead of 3). The re-binning is a linear
+    map computed inside the traced function, so gradients chain back to the
+    original (5,7,7,3,64) kernel exactly. Stem BN reproduces flax's train-mode
+    batch statistics (f32 fast-variance, momentum/eps from models/layers.py);
+    the returned batch_stats tree has the stem's running stats overridden with
+    that update (flax returns the full collection, unexecuted modules included —
+    the stem subtree it reports would otherwise be stale). ``frozen_bn=True``
+    folds the running stats into a post-conv affine and leaves them unchanged,
+    matching FrozenBN (large_i3d.py:8-39)."""
+    from ted_spad_tpu.models.i3res50 import WrapperI3D
+    from ted_spad_tpu.models.layers import BN_EPS, BN_MOMENTUM
+
+    def module_apply(variables, x, rng=None, frozen_bn=False):
+        kw = {"frozen_bn": True} if frozen_bn else {}
+        if rng is not None:
+            kw["rngs"] = {"dropout": rng}
+        return ft_model.apply(variables, x, train=True, mutable=["batch_stats"], **kw)
+
+    if not isinstance(ft_model, WrapperI3D):
+        return module_apply
+
+    dtype = ft_model.dtype
+
+    def fast(variables, x, rng=None, frozen_bn=False):
+        if "batch_stats" not in variables or x.shape[-2] % 2 or x.shape[-3] % 2:
+            return module_apply(variables, x, rng=rng, frozen_bn=frozen_bn)
+        p = variables["params"]["i3d"]["stem"]
+        s = variables["batch_stats"]["i3d"]["stem"]
+        ws = stem_s2d_kernel(p["conv"]["kernel"])
+        xs = space_to_depth_2x2(x.astype(dtype))
+        y = jax.lax.conv_general_dilated(
+            xs, ws.astype(dtype), (2, 1, 1), [(2, 2), (2, 1), (2, 1)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=dtype,
+        )
+        if frozen_bn:
+            scale = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + BN_EPS)
+            bias = p["bn"]["bias"] - s["bn"]["mean"] * scale
+            y = jax.nn.relu(y * scale.astype(dtype) + bias.astype(dtype))
+            new_stem = None  # FrozenBN: stats used, never updated
+        else:
+            # flax _compute_stats promotes to promote_types(f32, input dtype):
+            # f32 stats for f32/bf16 compute, f64 under x64 parity tests.
+            f = y.astype(jnp.promote_types(jnp.float32, y.dtype))
+            mean = f.mean((0, 1, 2, 3))
+            var = jnp.maximum(0.0, (f * f).mean((0, 1, 2, 3)) - mean * mean)
+            out = (f - mean) * jax.lax.rsqrt(var + BN_EPS) * p["bn"]["scale"] + p["bn"]["bias"]
+            y = jax.nn.relu(out.astype(dtype))
+            m = BN_MOMENTUM
+            new_stem = {"bn": {
+                "mean": m * s["bn"]["mean"] + (1 - m) * mean,
+                "var": m * s["bn"]["var"] + (1 - m) * var,
+            }}
+        kw = {"frozen_bn": True} if frozen_bn else {}
+        if rng is not None:
+            kw["rngs"] = {"dropout": rng}
+        out, mutated = ft_model.apply(
+            variables, y, train=True, mutable=["batch_stats"],
+            method="forward_from_stem", **kw,
+        )
+        if new_stem is not None:
+            bs = dict(mutated["batch_stats"])
+            i3d = dict(bs["i3d"])
+            i3d["stem"] = new_stem
+            bs["i3d"] = i3d
+            mutated = {"batch_stats": bs}
+        return out, mutated
+
+    return fast

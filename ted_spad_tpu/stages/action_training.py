@@ -69,9 +69,14 @@ def _apply_fa_frames(fa_model, fa_vars, video: jnp.ndarray, quirk: bool = False)
 
 
 def make_train_step(ft_model, optimizer, p: ActionParams, fa=None) -> Callable:
+    from ted_spad_tpu.ops.fast_i3d import make_fast_ft_train_forward
+
     frozen_bn = p.arch == "largei3d"  # train_action.py:39-41
     temporal = p.temporal_loss
     use_supcon = p.loss == "con"  # SupCon on stacked normalized view feats (train_action.py:60-65)
+    # s2d fast stem in TRAIN mode for largei3d (exact tap re-binning; grads chain
+    # through the linear transform) — module apply for the other archs.
+    ft_fwd = make_fast_ft_train_forward(ft_model)
 
     @jax.jit
     def train_step(variables, opt_state, rng, clips_u8, labels, aug_params):
@@ -92,13 +97,10 @@ def make_train_step(ft_model, optimizer, p: ActionParams, fa=None) -> Callable:
             vars_in = {**variables, "params": params}
 
             def fwd(x, mutable):
-                # Only the largei3d wrapper takes frozen_bn (train_action.py:39-41
-                # applies freeze_bn to largei3d only); the other archs' __call__
-                # signatures don't accept the kwarg.
-                kw = {"frozen_bn": True} if frozen_bn else {}
-                return ft_model.apply(
-                    vars_in, x, train=True, rngs={"dropout": rng}, mutable=mutable, **kw
-                )
+                # frozen_bn only reaches the largei3d wrapper (train_action.py:39-41
+                # applies freeze_bn to largei3d only); make_fast_ft_train_forward's
+                # module fallback omits the kwarg for archs that don't accept it.
+                return ft_fwd(vars_in, x, rng=rng, frozen_bn=frozen_bn)
 
             if v > 1:
                 # One batched forward over all views keeps the MXU busy (vs v calls).

@@ -135,14 +135,19 @@ def _ft_losses(ft_model, ft_vars, anon_clips, labels, p: AnonymizationParams, tr
     (models/i3res50.FT_REMAT_SAVE_NAMES; layer1's 56² outputs rematerialize)."""
     b, v = anon_clips.shape[:2]
     flat = anon_clips.reshape((b * v,) + anon_clips.shape[2:])
-    kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
     if remat == "blocks":
         ckpt = lambda f: jax.checkpoint(f, policy=_block_policy())
     else:
         ckpt = jax.checkpoint if remat else (lambda f: f)
     if train:
+        from ted_spad_tpu.ops.fast_i3d import make_fast_ft_train_forward
+
+        # Train-mode s2d fast stem (exact re-binning, flax-exact stem BN stats);
+        # module apply for non-largei3d archs.
+        ft_fwd = make_fast_ft_train_forward(ft_model)
+
         def apply_fn(variables, x):
-            return ft_model.apply(variables, x, train=True, mutable=["batch_stats"], **kwargs)
+            return ft_fwd(variables, x, rng=rng)
 
         (logits, emb), mutated = ckpt(apply_fn)(ft_vars, flat)
     else:
