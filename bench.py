@@ -469,4 +469,21 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — never exit without the JSON line
+        # The driver records exactly one JSON line per round; a crash (flaky
+        # device tunnel, OOM, ...) must still produce a parseable record rather
+        # than an empty BENCH file.
+        print(
+            json.dumps(
+                {
+                    "metric": "feature_extraction_clips_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "clips/s",
+                    "vs_baseline": 0.0,
+                    "detail": {"fatal_error": repr(e)},
+                }
+            )
+        )
+        raise SystemExit(1)

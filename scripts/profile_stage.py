@@ -59,11 +59,15 @@ def main() -> None:
         r = np.random.default_rng(0)
         n = jnp.asarray(r.normal(0, 1, (8, 2, 32, 257)).astype(np.float32))
         a = jnp.asarray(r.normal(0, 1, (8, 2, 32, 257)).astype(np.float32))
-        args5 = (variables, st, jax.random.PRNGKey(0), n, jnp.zeros(8), a, jnp.ones(8))
-        jax.block_until_ready(step(*args5))  # compile + warmup outside the trace
+        nlab, alab = jnp.zeros(8), jnp.ones(8)
+        key = jax.random.PRNGKey(0)
+        # The step donates variables/opt_state — chain the updated state through the
+        # loop (exactly what the driver does).
+        variables, st, _ = step(variables, st, key, n, nlab, a, alab)  # compile + warmup
+        jax.block_until_ready(variables)
         with profile_trace(out):
             for _ in range(5):
-                v2, st2, loss = step(*args5)
+                variables, st, loss = step(variables, st, key, n, nlab, a, alab)
             jax.block_until_ready(loss)
     else:
         raise SystemExit("anonymizer profiling: run scripts/train_anonymizer.py under profile_trace")

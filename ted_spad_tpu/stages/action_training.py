@@ -25,6 +25,8 @@ import os
 import time
 from typing import Any, Callable
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -78,7 +80,8 @@ def make_train_step(ft_model, optimizer, p: ActionParams, fa=None) -> Callable:
     # through the linear transform) — module apply for the other archs.
     ft_fwd = make_fast_ft_train_forward(ft_model)
 
-    @jax.jit
+    # Donate params/opt-state: XLA updates them in place (no old+new copies in HBM).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(variables, opt_state, rng, clips_u8, labels, aug_params):
         b, v = clips_u8.shape[:2]
         flat = clips_u8.reshape((b * v,) + clips_u8.shape[2:])

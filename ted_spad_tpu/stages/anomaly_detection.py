@@ -76,7 +76,7 @@ def make_train_step(model, optimizer, p: MGFNParams, mesh=None) -> Callable:
             out_shardings=(rep, rep, rep),
         )
 
-    @functools.partial(jax.jit, **jit_kw)
+    @functools.partial(jax.jit, donate_argnums=(0, 1), **jit_kw)
     def train_step(state_vars, opt_state, rng, nfeat, nlabel, afeat, alabel):
         batch = nfeat.shape[0]
         video = jnp.concatenate([nfeat, afeat], axis=0)  # (2B, ncrops, 32, F+1)

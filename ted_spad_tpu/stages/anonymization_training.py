@@ -212,9 +212,14 @@ def make_fa_step(
     """``accum_steps > 1`` splits the batch into microbatches inside the jitted step
     (lax.scan over grads): full reference batch (8 videos + 12 VISPR pairs at 224²,
     params_anonymization.py) on one v5e chip without exceeding HBM. Gradients are the
-    mean over microbatches; BN stats chain through the scan."""
+    mean over microbatches; BN stats chain through the scan.
 
-    @jax.jit
+    ``fa_vars``/``opt_state`` buffers are DONATED: XLA writes the updated fa params
+    and optimizer moments in place instead of holding old+new copies (~0.5 GB of the
+    16 GB v5e HBM at Adam/f32 moments) — callers must reassign, as the driver loop
+    does."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def fa_step(fa_vars, opt_state, fb_vars, ft_vars, rng, vispr1, vispr2, clips, labels):
         if accum_steps > 1:
             return _fa_step_accum(fa_vars, opt_state, fb_vars, ft_vars, rng, vispr1, vispr2, clips, labels)
@@ -280,7 +285,9 @@ def make_fa_step(
 
 
 def make_fbft_step(fa_model, fb_model, ft_model, opt_fb, opt_ft, p: AnonymizationParams) -> Callable:
-    @jax.jit
+    # fb/ft params + their optimizer states are donated (in-place update); fa_vars is
+    # NOT — the frozen anonymizer is reused by the alternating fa step.
+    @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4))
     def fbft_step(
         fa_vars, fb_vars, ft_vars, opt_fb_state, opt_ft_state, rng, vispr1, vispr2, clips, labels
     ):

@@ -15,6 +15,8 @@ import os
 import time
 from typing import Any, Callable
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,7 +33,8 @@ from ted_spad_tpu.utils.checkpoint import BestCheckpointer, save_checkpoint, sav
 def make_train_step(model, optimizer, out_hw: tuple[int, int]) -> Callable:
     out_h, out_w = out_hw
 
-    @jax.jit
+    # Donate params/opt-state: XLA updates them in place (no old+new copies in HBM).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(variables, opt_state, images_u8, aug_params):
         from ted_spad_tpu.ops.fast_unetpp import make_fast_fa_apply
 

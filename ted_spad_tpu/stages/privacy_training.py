@@ -19,6 +19,8 @@ import os
 import time
 from typing import Any, Callable
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -43,7 +45,8 @@ def make_steps(
             return img
         return jax.lax.stop_gradient(fa_apply(img))  # frozen fa (train_privacy.py:48-51, 150-151)
 
-    @jax.jit
+    # Donate params/opt-state: XLA updates them in place (no old+new copies in HBM).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(variables, opt_state, images_u8, labels, aug_params):
         img = augment_batch(images_u8[:, None], aug_params, out_h, out_w)[:, 0]
         img = maybe_anon(img)

@@ -81,7 +81,10 @@ def test_sharded_action_train_step_matches_single_device():
     aug = sample_augment_params(np.random.default_rng(1), 8, 48, 64, 32, 32).to_device()
     key = jax.random.PRNGKey(0)
 
-    nv1, _, loss1 = step(variables, st, key, clips, labels, aug)
+    # The train step donates (consumes) variables/opt_state — feed it copies so the
+    # originals survive for the sharded run below.
+    dup = lambda t: jax.tree.map(jnp.copy, t)
+    nv1, _, loss1 = step(dup(variables), dup(st), key, clips, labels, aug)
 
     mesh = data_parallel_mesh()
     vr, sr = replicate(mesh, variables), replicate(mesh, st)
@@ -123,11 +126,12 @@ def test_fa_step_gradient_accumulation_runs():
     clips = jnp.asarray(r.random((4, 3, 8, 32, 32, 3)).astype(np.float32))
     labels = jnp.asarray(r.integers(0, 4, 4))
     step = make_fa_step(fa_model, fb_model, ft_model, opt_fa, p, accum_steps=2)
+    # Snapshot before the call: the step donates (consumes) fa_vars/opt_state.
+    before = np.asarray(jax.tree_util.tree_leaves(fa_vars["params"])[0])
     new_fa, _, *losses = step(fa_vars, st, fb_vars, ft_vars, jax.random.PRNGKey(0), v1, v2, clips, labels)
     assert all(np.isfinite(float(x)) for x in losses)
-    before = jax.tree_util.tree_leaves(fa_vars["params"])[0]
     after = jax.tree_util.tree_leaves(new_fa["params"])[0]
-    assert not np.allclose(np.asarray(before), np.asarray(after))  # params moved
+    assert not np.allclose(before, np.asarray(after))  # params moved
 
 
 class TestInitializeDistributed:

@@ -258,11 +258,14 @@ def test_fa_step_remat_blocks_matches_full_remat():
     for name in FT_REMAT_SAVE_NAMES:
         assert name in ft_jaxpr, f"boundary {name} not emitted by I3Res50"
 
+    # The steps donate (consume) their updated-tree arguments — feed copies so the
+    # shared starting state survives across remat modes.
+    dup = lambda t: jax.tree.map(jnp.copy, t)
     results = {}
     for mode in ("on", "blocks"):
         pm = dataclasses.replace(p, remat=mode)
         step = make_fa_step(fa_model, fb_model, ft_model, opt_fa, pm)
-        new_fa, _, *losses = step(fa_vars, st, fb_vars, ft_vars, key, v1, v2, clips, labels)
+        new_fa, _, *losses = step(dup(fa_vars), dup(st), fb_vars, ft_vars, key, v1, v2, clips, labels)
         results[mode] = (np.asarray([float(x) for x in losses]), new_fa["params"])
 
     np.testing.assert_allclose(results["blocks"][0], results["on"][0], rtol=1e-5, atol=1e-7)
@@ -284,7 +287,7 @@ def test_fa_step_remat_blocks_matches_full_remat():
         st_fb, st_ft = opt_fb.init(fb_vars["params"]), opt_ft.init(ft_vars["params"])
         step = make_fbft_step(fa_model, fb_model, ft_model, opt_fb, opt_ft, pm)
         new_fb, new_ft, _, _, *losses = step(
-            fa_vars, fb_vars, ft_vars, st_fb, st_ft, key, v1, v2, clips, labels
+            fa_vars, dup(fb_vars), dup(ft_vars), st_fb, st_ft, key, v1, v2, clips, labels
         )
         fbft_results[mode] = (
             np.asarray([float(x) for x in losses]),
