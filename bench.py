@@ -468,9 +468,44 @@ def main() -> None:
     )
 
 
+def _arm_watchdog():
+    """Deadman watchdog: a wedged device tunnel can hang backend init (or any remote
+    dispatch) indefinitely INSIDE a C call, where neither SIGALRM handlers nor
+    exceptions can run on the main thread — so a daemon timer thread prints the
+    failure record itself and hard-exits. BENCH_TIMEOUT_S=0 disables."""
+    import threading
+
+    budget = int(os.environ.get("BENCH_TIMEOUT_S", "3000"))
+    if budget <= 0:
+        return None
+
+    def _fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "feature_extraction_clips_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "clips/s",
+                    "vs_baseline": 0.0,
+                    "detail": {"fatal_error": f"bench exceeded BENCH_TIMEOUT_S={budget}s (hung tunnel?)"},
+                }
+            ),
+            flush=True,
+        )
+        os._exit(1)
+
+    t = threading.Timer(budget, _fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 if __name__ == "__main__":
     try:
+        _watchdog = _arm_watchdog()
         main()
+        if _watchdog is not None:
+            _watchdog.cancel()
     except Exception as e:  # noqa: BLE001 — never exit without the JSON line
         # The driver records exactly one JSON line per round; a crash (flaky
         # device tunnel, OOM, ...) must still produce a parseable record rather

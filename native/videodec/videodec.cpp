@@ -32,9 +32,11 @@ namespace {
 struct Decoder {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* codec = nullptr;
-  SwsContext* sws = nullptr;          // lazy: keyed on the decoded frame's fmt/dims
+  SwsContext* sws = nullptr;          // lazy: keyed on the decoded frame's fmt/dims/colorimetry
   int sws_fmt = AV_PIX_FMT_NONE;
   int sws_w = 0, sws_h = 0;
+  int sws_csp = AVCOL_SPC_UNSPECIFIED;    // colorspace the RGB context was built for
+  int sws_range = AVCOL_RANGE_UNSPECIFIED;
   SwsContext* sws_yuv = nullptr;  // lazy: non-yuv420p sources -> planar yuv420p
   int sws_yuv_fmt = AV_PIX_FMT_NONE;  // pixel format the lazy context was built for
   AVFrame* frame = nullptr;
@@ -100,14 +102,48 @@ int decode_next(Decoder* dec) {
   }
 }
 
+// Override a YUV<->RGB context's coefficient table from the stream's colorimetry tags:
+// family 709 selects the BT.709 matrix (601 is swscale's default assumption); src_full
+// honors a full-range tag on non-yuvj pixel formats (yuvj formats are auto-detected).
+// Preserves whatever range/brightness state the context already derived. A failure
+// (e.g. the conversion isn't table-driven) leaves the default behavior — not an error.
+void apply_yuv2rgb_colorspace(SwsContext* ctx, int family, int src_full) {
+  int *inv_table = nullptr, *table = nullptr;
+  int src_range = 0, dst_range = 0, brightness = 0, contrast = 0, saturation = 0;
+  if (sws_getColorspaceDetails(ctx, &inv_table, &src_range, &table, &dst_range,
+                               &brightness, &contrast, &saturation) < 0)
+    return;
+  const int* coeffs =
+      sws_getCoefficients(family == 709 ? SWS_CS_ITU709 : SWS_CS_ITU601);
+  sws_setColorspaceDetails(ctx, coeffs, src_full ? 1 : src_range, table, dst_range,
+                           brightness, contrast, saturation);
+}
+
+// Collapse a frame's colorspace tag to the matrix family swscale must use for RGB
+// conversion: 709 for BT.709, 601 for everything else (BT.601 variants, untagged —
+// swscale's own default assumption — and exotic tags we don't special-case).
+int frame_matrix_family(const AVFrame* f) {
+  return f->colorspace == AVCOL_SPC_BT709 ? 709 : 601;
+}
+
+int frame_full_range(const AVFrame* f) {
+  return (f->color_range == AVCOL_RANGE_JPEG || f->format == AV_PIX_FMT_YUVJ420P ||
+          f->format == AV_PIX_FMT_YUVJ422P || f->format == AV_PIX_FMT_YUVJ444P)
+             ? 1
+             : 0;
+}
+
 // Convert dec->frame to RGB24 into out (out_h*out_w*3 bytes). The swscale context is
-// keyed on the DECODED frame's pixel format and dimensions (not codecpar's open-time
-// values) so a mid-stream format/resolution change rebuilds it instead of silently
+// keyed on the DECODED frame's pixel format, dimensions AND colorimetry tags (not
+// codecpar's open-time values) so a mid-stream change rebuilds it instead of silently
 // interpreting planes with a stale layout — same rule as the YUV path's lazy context.
+// BT.709-tagged frames convert with the BT.709 matrix; everything else keeps
+// swscale's BT.601 default (matching the device YUV ingest, ops/yuv.py).
 int to_rgb(Decoder* dec, uint8_t* out) {
   AVFrame* f = dec->frame;
   if (!dec->sws || dec->sws_fmt != f->format || dec->sws_w != f->width ||
-      dec->sws_h != f->height) {
+      dec->sws_h != f->height || dec->sws_csp != f->colorspace ||
+      dec->sws_range != f->color_range) {
     if (dec->sws) sws_freeContext(dec->sws);
     dec->sws = sws_getContext(f->width, f->height, static_cast<AVPixelFormat>(f->format),
                               dec->out_w, dec->out_h, AV_PIX_FMT_RGB24, SWS_BILINEAR,
@@ -115,7 +151,10 @@ int to_rgb(Decoder* dec, uint8_t* out) {
     dec->sws_fmt = f->format;
     dec->sws_w = f->width;
     dec->sws_h = f->height;
+    dec->sws_csp = f->colorspace;
+    dec->sws_range = f->color_range;
     if (!dec->sws) return -1;
+    apply_yuv2rgb_colorspace(dec->sws, frame_matrix_family(f), frame_full_range(f));
   }
   uint8_t* dst[4] = {out, nullptr, nullptr, nullptr};
   int dst_linesize[4] = {dec->out_w * 3, 0, 0, 0};
@@ -362,8 +401,8 @@ int vd_native_height(void* h) { return static_cast<Decoder*>(h)->codec->height; 
 // Colorspace tag of the coded stream, collapsed to the matrix family the device
 // conversion must use: 601 (BT.601/SMPTE170M/470BG), 709 (BT.709), 0 for untagged
 // (swscale's default assumption is 601), -1 for anything else (BT.2020 etc.).
-// The YUV ingest path (ops/yuv.py) hardcodes BT.601 to match the RGB path's
-// swscale default; callers use this to reject streams whose tag disagrees.
+// Both RGB decode (to_rgb, per-frame tag) and the device YUV ingest (ops/yuv.py,
+// per-clip flag from this function) honor 601/709; callers reject only -1.
 int vd_colorspace(void* h) {
   switch (static_cast<Decoder*>(h)->codec->colorspace) {
     case AVCOL_SPC_BT470BG:
@@ -478,7 +517,12 @@ extern "C" {
 // Open an encoder writing to `path` (container guessed from extension, e.g. .mp4).
 // codec_name: "libx264", "mpeg4", or "" for libx264-with-mpeg4-fallback.
 // Even dimensions required (yuv420p chroma subsampling).
-void* ve_open(const char* path, int w, int h, double fps, const char* codec_name) {
+// cs_family: 0 = legacy behavior (untagged stream, swscale's default BT.601 RGB->YUV);
+// 601/709 = tag the stream (VUI colour_primaries/transfer/matrix, limited range) AND
+// convert RGB->YUV with the matching matrix, so decoders that honor the tag (including
+// our own to_rgb/ops.yuv paths) reproduce the input RGB.
+void* ve_open_cs(const char* path, int w, int h, double fps, const char* codec_name,
+                 int cs_family) {
   if (w % 2 || h % 2) {
     g_last_error = "ve_open: width/height must be even for yuv420p";
     return nullptr;
@@ -512,6 +556,13 @@ void* ve_open(const char* path, int w, int h, double fps, const char* codec_name
   enc->codec->time_base = AVRational{framerate.den, framerate.num};
   enc->codec->framerate = framerate;
   enc->codec->gop_size = 12;
+  if (cs_family == 601 || cs_family == 709) {
+    const bool bt709 = cs_family == 709;
+    enc->codec->colorspace = bt709 ? AVCOL_SPC_BT709 : AVCOL_SPC_SMPTE170M;
+    enc->codec->color_primaries = bt709 ? AVCOL_PRI_BT709 : AVCOL_PRI_SMPTE170M;
+    enc->codec->color_trc = bt709 ? AVCOL_TRC_BT709 : AVCOL_TRC_SMPTE170M;
+    enc->codec->color_range = AVCOL_RANGE_MPEG;
+  }
   if (strcmp(codec->name, "libx264") == 0) {
     av_opt_set(enc->codec->priv_data, "preset", "veryfast", 0);
     av_opt_set(enc->codec->priv_data, "crf", "18", 0);
@@ -548,10 +599,29 @@ void* ve_open(const char* path, int w, int h, double fps, const char* codec_name
   enc->header_written = true;
   enc->sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
                             SWS_BILINEAR, nullptr, nullptr, nullptr);
+  if (enc->sws && (cs_family == 601 || cs_family == 709)) {
+    // RGB->YUV with the tagged matrix (table = dst side for RGB sources); limited
+    // range to match the AVCOL_RANGE_MPEG tag above.
+    int *inv_table = nullptr, *table = nullptr;
+    int src_range = 0, dst_range = 0, brightness = 0, contrast = 0, saturation = 0;
+    if (sws_getColorspaceDetails(enc->sws, &inv_table, &src_range, &table, &dst_range,
+                                 &brightness, &contrast, &saturation) >= 0) {
+      const int* coeffs =
+          sws_getCoefficients(cs_family == 709 ? SWS_CS_ITU709 : SWS_CS_ITU601);
+      sws_setColorspaceDetails(enc->sws, coeffs, src_range, coeffs, 0, brightness,
+                               contrast, saturation);
+    }
+  }
   enc->yuv = av_frame_alloc();
   enc->yuv->format = AV_PIX_FMT_YUV420P;
   enc->yuv->width = w;
   enc->yuv->height = h;
+  if (cs_family == 601 || cs_family == 709) {
+    enc->yuv->colorspace = enc->codec->colorspace;
+    enc->yuv->color_primaries = enc->codec->color_primaries;
+    enc->yuv->color_trc = enc->codec->color_trc;
+    enc->yuv->color_range = AVCOL_RANGE_MPEG;
+  }
   enc->pkt = av_packet_alloc();
   if (!enc->sws || !enc->pkt || av_frame_get_buffer(enc->yuv, 0) < 0) {
     g_last_error = "encoder allocation failure";
@@ -559,6 +629,11 @@ void* ve_open(const char* path, int w, int h, double fps, const char* codec_name
     return nullptr;
   }
   return enc;
+}
+
+// Back-compat entry: untagged stream, swscale default (BT.601) RGB->YUV.
+void* ve_open(const char* path, int w, int h, double fps, const char* codec_name) {
+  return ve_open_cs(path, w, h, fps, codec_name, 0);
 }
 
 // Append one packed-RGB24 frame (h*w*3 bytes). Returns 0 on success.

@@ -94,6 +94,15 @@ def _load_library():
             ctypes.c_double,
             ctypes.c_char_p,
         ]
+        lib.ve_open_cs.restype = ctypes.c_void_p
+        lib.ve_open_cs.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_char_p,
+            ctypes.c_int,
+        ]
         lib.ve_write.restype = ctypes.c_int
         lib.ve_write.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
         lib.ve_close.restype = ctypes.c_int
@@ -138,8 +147,9 @@ class VideoReader:
     @property
     def colorspace(self) -> int:
         """Stream colorspace family: 601, 709, 0 (untagged — swscale assumes 601),
-        -1 (other, e.g. BT.2020). The YUV ingest path only supports 601/untagged
-        (ops/yuv.py hardcodes BT.601 to match the RGB path's swscale default)."""
+        -1 (other, e.g. BT.2020). RGB reads honor 601/709 per-frame (native to_rgb
+        selects the matrix); the planar ingest path converts on device with the
+        family this reports (ops/yuv.py ``bt709`` row flags). -1 is rejected."""
         return int(self._lib.vd_colorspace(self._h))
 
     def __len__(self) -> int:
@@ -326,16 +336,25 @@ def open_video(path: str, out_w: int = 0, out_h: int = 0,
 class VideoWriter:
     """Streaming RGB24 -> mp4 (libx264, mpeg4 fallback) encoder over the native layer —
     the imageio.mimwrite replacement (visualize_anonymization.py:84-115). Odd frame
-    dimensions are cropped by one pixel (yuv420p needs even sizes)."""
+    dimensions are cropped by one pixel (yuv420p needs even sizes).
 
-    def __init__(self, path: str, width: int, height: int, fps: float = 25.0, codec: str = ""):
+    ``colorspace``: 0 writes an untagged stream with swscale's default (BT.601)
+    RGB->YUV (legacy behavior); 601/709 tags the stream (VUI, limited range) AND
+    converts with the matching matrix, so tag-honoring decoders — including our own
+    RGB and planar-YUV ingest paths — reproduce the input RGB."""
+
+    def __init__(self, path: str, width: int, height: int, fps: float = 25.0, codec: str = "",
+                 colorspace: int = 0):
         lib = _load_library()
         if lib is None:
             raise RuntimeError(f"native videodec unavailable: {_lib_error}")
+        if colorspace not in (0, 601, 709):
+            raise ValueError(f"colorspace must be 0, 601 or 709, got {colorspace}")
         self._lib = lib
         self.width = width - (width % 2)
         self.height = height - (height % 2)
-        self._h = lib.ve_open(path.encode(), self.width, self.height, float(fps), codec.encode())
+        self._h = lib.ve_open_cs(path.encode(), self.width, self.height, float(fps),
+                                 codec.encode(), colorspace)
         if not self._h:
             raise IOError(f"cannot open encoder for {path}: {lib.vd_last_error().decode()}")
         self.path = path
@@ -366,11 +385,13 @@ class VideoWriter:
             pass
 
 
-def write_mp4(path: str, frames: np.ndarray, fps: float = 25.0, codec: str = "") -> str:
-    """Write (T, H, W, 3) uint8 RGB frames as an .mp4 via the native encoder."""
+def write_mp4(path: str, frames: np.ndarray, fps: float = 25.0, codec: str = "",
+              colorspace: int = 0) -> str:
+    """Write (T, H, W, 3) uint8 RGB frames as an .mp4 via the native encoder.
+    ``colorspace`` as in VideoWriter (0 untagged/601-math, 601, 709)."""
     frames = np.asarray(frames, dtype=np.uint8)
     _, h, w, _ = frames.shape
-    with VideoWriter(path, w, h, fps=fps, codec=codec) as vw:
+    with VideoWriter(path, w, h, fps=fps, codec=codec, colorspace=colorspace) as vw:
         for frame in frames:
             vw.write(frame)
     return path

@@ -1,4 +1,4 @@
-"""Device-side YUV420 ingest: fused crop + resize + chroma upsample + BT.601 -> RGB.
+"""Device-side YUV420 ingest: fused crop + resize + chroma upsample + YCbCr -> RGB.
 
 The planar decode mode (native/videodec vd_read_strided_yuv) ships 1.5 bytes/px to the
 device instead of RGB24's 3 and skips the host-side swscale color conversion — the
@@ -10,6 +10,11 @@ exactly — we resize the three planes (chroma straight from half resolution to 
 target grid, which also absorbs the 2x chroma upsample) and then apply the affine
 color matrix. Matches the reference val transform semantics (/255, center-crop 0.8,
 resize 224 — dali_extraction.py:38-50) within swscale's fixed-point tolerance.
+
+Colorspace: BT.601 by default (swscale's untagged assumption, matching the RGB decode
+path). BT.709-tagged sources pass a per-clip ``bt709`` row flag — the coefficient set
+becomes a per-row select, so one compiled program handles batches that mix 601- and
+709-tagged videos (extraction packs clips from many videos per batch).
 """
 
 from __future__ import annotations
@@ -23,10 +28,12 @@ from ted_spad_tpu.ops.pallas_preprocess import resize_matrix
 
 Array = jax.Array
 
-# BT.601 coefficients. Limited (studio) range is the untagged default swscale assumes
-# (videodec.cpp vd_full_range); full range is the yuvj/pc case.
-_LIMITED = dict(ky=1.164383, y_off=16.0, rv=1.596027, gu=-0.391762, gv=-0.812968, bu=2.017232)
-_FULL = dict(ky=1.0, y_off=0.0, rv=1.402, gu=-0.344136, gv=-0.714136, bu=1.772)
+# YCbCr -> RGB affine coefficients. Limited (studio) range is the untagged default
+# swscale assumes (videodec.cpp vd_full_range); full range is the yuvj/pc case.
+_BT601_LIMITED = dict(ky=1.164383, y_off=16.0, rv=1.596027, gu=-0.391762, gv=-0.812968, bu=2.017232)
+_BT601_FULL = dict(ky=1.0, y_off=0.0, rv=1.402, gu=-0.344136, gv=-0.714136, bu=1.772)
+_BT709_LIMITED = dict(ky=1.164383, y_off=16.0, rv=1.792741, gu=-0.213249, gv=-0.532909, bu=2.112402)
+_BT709_FULL = dict(ky=1.0, y_off=0.0, rv=1.5748, gu=-0.187324, gv=-0.468124, bu=1.8556)
 
 
 @functools.partial(
@@ -42,12 +49,17 @@ def fused_preprocess_yuv(
     cropping_factor: float = 0.8,
     out_dtype: jnp.dtype = jnp.bfloat16,
     full_range: bool = False,
+    bt709: Array | None = None,
 ) -> Array:
     """(B,T,H,W) + 2x(B,T,H/2,W/2) uint8 planes -> (B,T,out_h,out_w,3) [0,1] RGB.
 
     Requires the full-res crop window to be chroma-aligned (even offsets/sizes —
     true for the 240x320 @ 0.8 extraction config); callers fall back to the RGB
     path otherwise.
+
+    ``bt709``: optional (B,) bool/0-1 row flags — rows marked True convert with the
+    BT.709 matrix instead of BT.601 (a per-row affine-coefficient select; the plane
+    resampling is colorspace-independent). None = all BT.601.
     """
     h, w = y_u8.shape[-2], y_u8.shape[-1]
     if cropping_factor <= 1:
@@ -71,7 +83,14 @@ def fused_preprocess_yuv(
     uf = resample(u_u8, cry, crxt) - 128.0
     vf = resample(v_u8, cry, crxt) - 128.0
 
-    c = _FULL if full_range else _LIMITED
+    c601 = _BT601_FULL if full_range else _BT601_LIMITED
+    if bt709 is None:
+        c = c601
+    else:
+        # Per-row coefficient select: broadcast (B,) flags over (B,T,out_h,out_w).
+        c709 = _BT709_FULL if full_range else _BT709_LIMITED
+        sel = bt709.astype(jnp.float32).reshape(bt709.shape + (1,) * (yf.ndim - bt709.ndim))
+        c = {k: c601[k] + (c709[k] - c601[k]) * sel for k in c601}
     yy = c["ky"] * (yf - c["y_off"])
     r = yy + c["rv"] * vf
     g = yy + c["gu"] * uf + c["gv"] * vf

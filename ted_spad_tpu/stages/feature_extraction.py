@@ -65,11 +65,14 @@ def iter_clip_batches(
     """Stream clip batches packed across videos.
 
     ``decode_mode="rgb"``: batches are (batch_size, T, H, W, 3) uint8.
-    ``decode_mode="yuv"``: batches are ONE packed (batch_size, T, H*W*3//2) uint8
-    buffer of [Y | U | V] planes at native resolution — 1.5 bytes/px of host->device
-    traffic in a single contiguous transfer, no host-side color conversion (the
-    planar ingest mode; ops/yuv.py unpacks and converts on device). Full-range
-    (yuvj) and non-BT.601-tagged sources are rejected — use rgb mode for those.
+    ``decode_mode="yuv"``: batches are ONE packed (batch_size, T, H*W*3//2 + 1) uint8
+    buffer of [Y | U | V | tag] rows at native resolution — 1.5 bytes/px of
+    host->device traffic in a single contiguous transfer, no host-side color
+    conversion (the planar ingest mode; ops/yuv.py unpacks and converts on device).
+    The trailing tag byte marks BT.709-tagged videos (255) vs BT.601/untagged (0) so
+    one compiled program converts mixed batches with the right matrix per clip.
+    Full-range (yuvj) and exotically-tagged (BT.2020 etc.) sources are rejected —
+    use rgb mode for those.
 
     ``on_error``: when given, a video whose decode raises is skipped — the callback
     receives (video_idx, error_repr) and no clips from that video are yielded (its
@@ -97,12 +100,13 @@ def iter_clip_batches(
         starts = video_clip_starts(len(vr), p.num_frames, p.clip_stride, p.clip_step)
         if decode_mode == "yuv":
             cs = getattr(vr, "colorspace", 0)  # per-video property — check once
-            if cs not in (0, 601):  # untagged is swscale's 601 default
+            if cs not in (0, 601, 709):  # untagged is swscale's 601 default
                 raise RuntimeError(
-                    f"{uri}: colorspace tag {cs} — the YUV ingest path hardcodes "
-                    "BT.601 (matching the RGB path's swscale default); use "
+                    f"{uri}: colorspace tag {cs} — the YUV ingest path supports "
+                    "BT.601 (and untagged, swscale's default) and BT.709; use "
                     "decode_mode='rgb' for this source"
                 )
+            cs_tag = 255 if cs == 709 else 0  # per-row tag byte, see make_extract_step
         clips = []
         for ci, s in enumerate(starts):
             if decode_mode == "yuv":
@@ -118,8 +122,12 @@ def iter_clip_batches(
                         "or use decode_mode='rgb' (which rescales)"
                     )
                 t = y.shape[0]
+                # Trailing tag byte: 255 = BT.709-tagged source, 0 = BT.601/untagged.
+                # Rides the packed row so batches can mix videos with different tags
+                # without changing the (clips, refs, counts) batch interface.
+                tag = np.full((t, 1), cs_tag, np.uint8)
                 packed = np.concatenate(
-                    [y.reshape(t, -1), u.reshape(t, -1), v.reshape(t, -1)], axis=1
+                    [y.reshape(t, -1), u.reshape(t, -1), v.reshape(t, -1), tag], axis=1
                 )
                 clips.append((ClipRef(vi, ci), packed))
             else:
@@ -190,10 +198,11 @@ def make_extract_step(
 
     ``use_pallas`` selects the Pallas matmul-resample preprocessing kernel
     (ops/pallas_preprocess.py) — default on TPU backends, XLA path elsewhere.
-    ``yuv``: the step takes ONE packed (B, T, H*W*3//2) uint8 [Y|U|V] buffer per batch
-    (decode_mode='yuv', plane size from ``yuv_hw``) and fuses chroma upsample +
-    BT.601 into the preprocess (ops/yuv.py) — half the host->device bytes of RGB24
-    in a single contiguous transfer.
+    ``yuv``: the step takes ONE packed (B, T, H*W*3//2 [+1 tag byte]) uint8
+    [Y|U|V|tag] buffer per batch (decode_mode='yuv', plane size from ``yuv_hw``) and
+    fuses chroma upsample + YCbCr->RGB into the preprocess (ops/yuv.py) — half the
+    host->device bytes of RGB24 in a single contiguous transfer. The optional tag
+    byte selects BT.709 (255) vs BT.601 (0) per clip row.
     ``mesh``: a 1-D ``jax.sharding.Mesh`` to shard the clip batch over local chips
     (params replicated) — the DataParallel replacement (dali_extraction.py:128-133)."""
     if yuv and p.no_ar_distortion:
@@ -221,13 +230,26 @@ def make_extract_step(
             h, w = yuv_hw
             b, t = clips_u8.shape[0], clips_u8.shape[1]
             yb, cb = h * w, (h // 2) * (w // 2)
+            # Two packed layouts (static shape -> trace-time branch): yb+2*cb plain
+            # planes (BT.601 only), or +1 trailing tag byte per row — 255 marks a
+            # BT.709-tagged video, selecting the 709 matrix for that clip on device.
+            if clips_u8.shape[-1] == yb + 2 * cb:
+                bt709 = None
+            elif clips_u8.shape[-1] == yb + 2 * cb + 1:
+                bt709 = clips_u8[:, 0, -1] > 0  # (B,) per-clip flags
+            else:
+                raise ValueError(
+                    f"packed yuv row is {clips_u8.shape[-1]} bytes; expected "
+                    f"{yb + 2 * cb} (plain) or {yb + 2 * cb + 1} (+tag byte) for {yuv_hw}"
+                )
             y_u8 = clips_u8[..., :yb].reshape(b, t, h, w)
             u_u8 = clips_u8[..., yb : yb + cb].reshape(b, t, h // 2, w // 2)
-            v_u8 = clips_u8[..., yb + cb :].reshape(b, t, h // 2, w // 2)
+            v_u8 = clips_u8[..., yb + cb : yb + 2 * cb].reshape(b, t, h // 2, w // 2)
             img = fused_preprocess_yuv(
                 y_u8, u_u8, v_u8, out_h=p.reso_h, out_w=p.reso_w,
                 cropping_factor=p.cropping_factor,
                 out_dtype=jnp.dtype(p.compute_dtype),
+                bt709=bt709,
             ).astype(jnp.float32)
         elif use_pallas and not p.no_ar_distortion:
             from ted_spad_tpu.ops.pallas_preprocess import fused_preprocess
@@ -308,7 +330,8 @@ def extract_features(
     ucf101_dl.py:143-146 — real UCF-Crime contains broken videos).
 
     ``decode_mode='yuv'``: planar ingest — host ships YUV420 planes (1.5 bytes/px) and
-    the device preprocess does chroma upsample + BT.601 (ops/yuv.py).
+    the device preprocess does chroma upsample + YCbCr->RGB (ops/yuv.py; BT.601 and
+    BT.709 tags both honored, selected per clip row).
     ``num_workers``: host decode threads; this is the throughput knob when extraction
     is decode-bound (each software-decode thread needs roughly one host core).
     Sharding: shard ``video_uris`` round-robin per process (DALI num_shards/shard_id

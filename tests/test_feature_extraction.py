@@ -176,16 +176,44 @@ def test_yuv_rejects_no_ar_distortion_at_step_level():
         make_extract_step(ft_model, p, yuv=True)
 
 
-def test_yuv_rejects_non_bt601_colorspace(monkeypatch):
-    """ADVICE r2: the YUV ingest hardcodes BT.601; a BT.709-tagged stream must be
-    rejected (with rgb-mode guidance), like full-range sources already are."""
+def test_yuv_bt709_flows_with_tag_byte(monkeypatch):
+    """A BT.709-tagged stream is accepted in yuv mode: its packed rows carry the
+    trailing tag byte 255 (601/untagged rows carry 0), which make_extract_step turns
+    into the per-row matrix select (ops/yuv.py bt709 flags)."""
     import ted_spad_tpu.stages.feature_extraction as fe
     from ted_spad_tpu.data.video_reader import SyntheticVideoReader
 
     class BT709Reader(SyntheticVideoReader):
         colorspace = 709
 
-    monkeypatch.setattr(fe, "open_video", lambda *a, **k: BT709Reader(num_frames=40))
+    monkeypatch.setattr(
+        fe, "open_video",
+        lambda path, *a, **k: BT709Reader(num_frames=40) if "709" in path
+        else SyntheticVideoReader(num_frames=40),
+    )
+    p = FeatureExtractionParams(num_frames=4, fix_skip=2)
+    batches = list(fe.iter_clip_batches(["v709.mp4", "v601.mp4"], p, 4,
+                                        decode_hw=(240, 320), decode_mode="yuv"))
+    assert batches
+    plane_bytes = 240 * 320 * 3 // 2
+    tags = {}
+    for clips, refs, _ in batches:
+        assert clips.shape[-1] == plane_bytes + 1
+        for row, ref in enumerate(refs):
+            tags.setdefault(ref.video_idx, set()).add(int(clips[row, 0, -1]))
+    assert tags[0] == {255} and tags[1] == {0}
+
+
+def test_yuv_rejects_exotic_colorspace(monkeypatch):
+    """BT.2020 and other exotic tags (vd_colorspace -1) are still rejected in yuv
+    mode with rgb-mode guidance."""
+    import ted_spad_tpu.stages.feature_extraction as fe
+    from ted_spad_tpu.data.video_reader import SyntheticVideoReader
+
+    class BT2020Reader(SyntheticVideoReader):
+        colorspace = -1
+
+    monkeypatch.setattr(fe, "open_video", lambda *a, **k: BT2020Reader(num_frames=40))
     p = FeatureExtractionParams(num_frames=4, fix_skip=2)
     with pytest.raises(RuntimeError, match="decode_mode='rgb'"):
         list(fe.iter_clip_batches(["v.mp4"], p, 2, decode_hw=(240, 320),

@@ -1,8 +1,9 @@
 """Native video decode layer tests (decord/DALI/cv2 replacement, SURVEY.md §2.3).
 
-Fixtures are pure-python Y4M files; expected pixel values go through the BT.601
-limited-range transfer that FFmpeg applies when decoding Y4M (the writer emits full-range
-YCbCr; libswscale interprets it as studio range)."""
+Fixtures are pure-python Y4M files; the writer emits full-range YCbCr and tags the
+stream XCOLORRANGE=FULL — the decoder honors the tag (to_rgb keys its swscale context
+on the frame's colorimetry), so gray value v decodes back to exactly v. (Before the
+tag was honored, swscale's studio-range default mis-expanded these fixtures.)"""
 
 import numpy as np
 import pytest
@@ -18,8 +19,10 @@ needs_native = pytest.mark.skipif(not native_available(), reason="libvideodec un
 
 
 def limited_range(v: np.ndarray) -> np.ndarray:
-    """Gray value v -> what FFmpeg's limited-range Y4M decode returns for (v,v,v)."""
-    return np.clip((v.astype(np.float64) - 16.0) * 255.0 / 219.0 + 0.5, 0, 255).astype(np.uint8)
+    """Gray value v -> decoded value. The full-range tag is honored, so this is now the
+    identity (name kept for the call sites' history; the old studio-range expansion
+    modeled the pre-fix behavior of ignoring the Y4M XCOLORRANGE tag)."""
+    return np.asarray(v, np.uint8)
 
 
 @pytest.fixture()

@@ -14,7 +14,7 @@ from ted_spad_tpu.ops.pallas_preprocess import resize_matrix
 from ted_spad_tpu.ops.yuv import fused_preprocess_yuv
 
 
-def _numpy_oracle(y, u, v, out_h, out_w, cf, full_range=False):
+def _numpy_oracle(y, u, v, out_h, out_w, cf, full_range=False, matrix="601"):
     h, w = y.shape[-2:]
     ch, cw = int(h * cf), int(w * cf)
     y0, x0 = int(round((h - ch) / 2)), int(round((w - cw) / 2))
@@ -27,10 +27,14 @@ def _numpy_oracle(y, u, v, out_h, out_w, cf, full_range=False):
     yf = rs(y, ry, rxt)
     uf = rs(u, cry, crxt) - 128.0
     vf = rs(v, cry, crxt) - 128.0
-    if full_range:
-        yy, rv, gu, gv, bu = yf, 1.402, -0.344136, -0.714136, 1.772
-    else:
-        yy, rv, gu, gv, bu = 1.164383 * (yf - 16.0), 1.596027, -0.391762, -0.812968, 2.017232
+    coeffs = {
+        ("601", False): (1.596027, -0.391762, -0.812968, 2.017232),
+        ("601", True): (1.402, -0.344136, -0.714136, 1.772),
+        ("709", False): (1.792741, -0.213249, -0.532909, 2.112402),
+        ("709", True): (1.5748, -0.187324, -0.468124, 1.8556),
+    }
+    rv, gu, gv, bu = coeffs[(matrix, full_range)]
+    yy = yf if full_range else 1.164383 * (yf - 16.0)
     rgb = np.stack([yy + rv * vf, yy + gu * uf + gv * vf, yy + bu * uf], -1) / 255.0
     return np.clip(rgb, 0, 1)
 
@@ -95,6 +99,126 @@ def test_full_range_matches_oracle():
     )
     ref = _numpy_oracle(y, u, v, 32, 40, 0.75, full_range=True)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_bt709_rows_match_oracle_and_mix_with_601():
+    """Per-row ``bt709`` flags: flagged rows convert with the BT.709 matrix, unflagged
+    rows stay bit-identical to the flagless BT.601 program (mixed extraction batches)."""
+    rng = np.random.default_rng(7)
+    y = rng.integers(16, 236, (3, 2, 48, 64), np.uint8)
+    u = rng.integers(16, 241, (3, 2, 24, 32), np.uint8)
+    v = rng.integers(16, 241, (3, 2, 24, 32), np.uint8)
+    flags = np.asarray([False, True, False])
+    got = np.asarray(
+        fused_preprocess_yuv(y, u, v, out_h=32, out_w=40, cropping_factor=0.75,
+                             out_dtype=np.float32, bt709=flags)
+    )
+    ref601 = _numpy_oracle(y, u, v, 32, 40, 0.75, matrix="601")
+    ref709 = _numpy_oracle(y, u, v, 32, 40, 0.75, matrix="709")
+    np.testing.assert_allclose(got[[0, 2]], ref601[[0, 2]], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got[1], ref709[1], rtol=1e-4, atol=1e-4)
+    # The matrices genuinely differ on chroma-rich content.
+    assert np.abs(ref709[1] - ref601[1]).max() > 0.01
+    # Unflagged rows == the flagless program (same math; the coefficient blend with
+    # sel=0 reassociates the fused arithmetic, so float-tolerance not bit-equality).
+    base = np.asarray(
+        fused_preprocess_yuv(y, u, v, out_h=32, out_w=40, cropping_factor=0.75,
+                             out_dtype=np.float32)
+    )
+    np.testing.assert_allclose(got[[0, 2]], base[[0, 2]], rtol=1e-6, atol=1e-6)
+
+
+def test_bt709_full_range_matches_oracle():
+    rng = np.random.default_rng(8)
+    y = rng.integers(0, 256, (1, 2, 48, 64), np.uint8)
+    u = rng.integers(0, 256, (1, 2, 24, 32), np.uint8)
+    v = rng.integers(0, 256, (1, 2, 24, 32), np.uint8)
+    got = np.asarray(
+        fused_preprocess_yuv(y, u, v, out_h=32, out_w=40, cropping_factor=0.75,
+                             out_dtype=np.float32, full_range=True,
+                             bt709=np.asarray([True]))
+    )
+    ref = _numpy_oracle(y, u, v, 32, 40, 0.75, full_range=True, matrix="709")
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not native_available(), reason="native videodec unavailable")
+def test_native_bt709_roundtrip_and_parity(tmp_path):
+    """A BT.709-tagged encode (ve_open_cs) roundtrips: the tag survives the container,
+    the RGB decode honors it (reproduces the source frames better than the wrong
+    matrix would), and the planar path with the per-row flag matches the RGB path."""
+    from ted_spad_tpu.data.video_reader import VideoReader
+
+    yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
+    t = np.arange(24, dtype=np.float32)[:, None, None]
+    frames = np.stack(
+        [
+            np.clip(127.5 + 90 * np.sin(xx / 9 + t / 5), 0, 255),
+            np.clip(127.5 + 80 * np.cos(yy / 7 - t / 9), 0, 255),
+            np.clip(127.5 + 85 * np.sin((xx + yy) / 11 + t / 7), 0, 255),
+        ],
+        -1,
+    ).astype(np.uint8)
+    path = str(tmp_path / "v709.mp4")
+    write_mp4(path, frames, fps=25.0, codec="libx264", colorspace=709)
+
+    vr = VideoReader(path)
+    assert vr.colorspace == 709  # tag survived encoder + mp4 muxer
+    rgb = vr.get_batch(list(range(8))).astype(np.float32)
+    # Tag honored: decoded RGB ≈ source (codec noise only).
+    assert np.abs(rgb - frames[:8]).mean() < 4.0
+
+    # Planar path with the 709 row flag matches the RGB path…
+    y, u, v, full = vr.read_strided_yuv(0, 4, 2)
+    assert not full
+    ref = np.asarray(center_crop_resize(rgb[None, 0:8:2] / 255.0, 0.75, 32, 40))[0]
+    got709 = np.asarray(
+        fused_preprocess_yuv(y[None], u[None], v[None], out_h=32, out_w=40,
+                             cropping_factor=0.75, out_dtype=np.float32,
+                             bt709=np.asarray([True]))
+    )[0]
+    d = np.abs(got709 - ref)
+    assert d.mean() < 0.02 and d.max() < 0.3, (d.mean(), d.max())
+    # …and the flag matters: converting the same planes as BT.601 is visibly worse.
+    got601 = np.asarray(
+        fused_preprocess_yuv(y[None], u[None], v[None], out_h=32, out_w=40,
+                             cropping_factor=0.75, out_dtype=np.float32)
+    )[0]
+    assert np.abs(got601 - ref).mean() > 2 * d.mean()
+    vr.close()
+
+
+@pytest.mark.skipif(not native_available(), reason="native videodec unavailable")
+def test_extract_features_yuv_mode_bt709_file(tmp_path):
+    """End-to-end: a BT.709-tagged real file extracts in yuv mode (per-row flag path)
+    with features matching rgb mode — both paths honor the tag."""
+    from ted_spad_tpu.config.params import FeatureExtractionParams
+    from ted_spad_tpu.stages.feature_extraction import extract_features
+
+    yy, xx = np.mgrid[0:40, 0:80].astype(np.float32)
+    t = np.arange(48, dtype=np.float32)[:, None, None]
+    frames = np.stack(
+        [
+            np.clip(127.5 + 90 * np.sin(xx / 9 + t / 5), 0, 255),
+            np.clip(127.5 + 80 * np.cos(yy / 7 - t / 9), 0, 255),
+            np.clip(127.5 + 85 * np.sin((xx + yy) / 11 + t / 7), 0, 255),
+        ],
+        -1,
+    ).astype(np.uint8)
+    path = str(tmp_path / "v709.mp4")
+    write_mp4(path, frames, fps=25.0, codec="libx264", colorspace=709)
+
+    p = FeatureExtractionParams(
+        num_frames=8, reso_h=48, reso_w=64, compute_dtype="float32", anonymized=False
+    )
+    r_rgb = extract_features(p, [path], str(tmp_path / "rgb"), decode_hw=(40, 80),
+                             batch_size=4, log_fn=lambda s: None)
+    r_yuv = extract_features(p, [path], str(tmp_path / "yuv"), decode_hw=(40, 80),
+                             batch_size=4, decode_mode="yuv", log_fn=lambda s: None)
+    assert r_yuv["clips"] == r_rgb["clips"] > 0
+    a, b = np.load(r_rgb["saved"][path]), np.load(r_yuv["saved"][path])
+    cos = (a * b).sum() / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-9)
+    assert cos > 0.99, cos
 
 
 def test_misaligned_crop_rejected():
