@@ -107,6 +107,9 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", ".jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.devices()  # force backend init under the short init fuse…
+    # …then give the measurement phase the full budget.
+    _arm_watchdog(int(os.environ.get("BENCH_TIMEOUT_S", "3000")), "measurement")
     import jax.numpy as jnp
 
     from ted_spad_tpu.config.params import FeatureExtractionParams
@@ -468,16 +471,23 @@ def main() -> None:
     )
 
 
-def _arm_watchdog():
+_WATCHDOG = {"timer": None}
+
+
+def _arm_watchdog(budget: int, label: str):
     """Deadman watchdog: a wedged device tunnel can hang backend init (or any remote
     dispatch) indefinitely INSIDE a C call, where neither SIGALRM handlers nor
     exceptions can run on the main thread — so a daemon timer thread prints the
-    failure record itself and hard-exits. BENCH_TIMEOUT_S=0 disables."""
+    failure record itself and hard-exits. Re-arming replaces the previous timer:
+    a short budget covers backend init (the common tunnel-down hang, caught in
+    minutes), then the full budget covers the measurement phase. 0 disables."""
     import threading
 
-    budget = int(os.environ.get("BENCH_TIMEOUT_S", "3000"))
+    if _WATCHDOG["timer"] is not None:
+        _WATCHDOG["timer"].cancel()
+        _WATCHDOG["timer"] = None
     if budget <= 0:
-        return None
+        return
 
     def _fire():
         print(
@@ -487,7 +497,7 @@ def _arm_watchdog():
                     "value": 0.0,
                     "unit": "clips/s",
                     "vs_baseline": 0.0,
-                    "detail": {"fatal_error": f"bench exceeded BENCH_TIMEOUT_S={budget}s (hung tunnel?)"},
+                    "detail": {"fatal_error": f"bench exceeded {budget}s during {label} (hung tunnel?)"},
                 }
             ),
             flush=True,
@@ -497,15 +507,16 @@ def _arm_watchdog():
     t = threading.Timer(budget, _fire)
     t.daemon = True
     t.start()
-    return t
+    _WATCHDOG["timer"] = t
 
 
 if __name__ == "__main__":
     try:
-        _watchdog = _arm_watchdog()
+        # Short fuse over backend init (tunnel-down hangs die in minutes, not the
+        # full bench budget); main() re-arms the full budget once devices respond.
+        _arm_watchdog(int(os.environ.get("BENCH_INIT_TIMEOUT_S", "900")), "device init")
         main()
-        if _watchdog is not None:
-            _watchdog.cancel()
+        _arm_watchdog(0, "done")
     except Exception as e:  # noqa: BLE001 — never exit without the JSON line
         # The driver records exactly one JSON line per round; a crash (flaky
         # device tunnel, OOM, ...) must still produce a parseable record rather

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ted_spad_tpu.config.params import ActionParams
+from ted_spad_tpu.data.prefetch import prefetch
 from ted_spad_tpu.data.videos import ClipDataset, ValClipDataset
 from ted_spad_tpu.models import load_fa_model, load_ft_model
 from ted_spad_tpu.ops.augment import augment_batch, center_crop_resize
@@ -213,9 +214,14 @@ def evaluate_action(
     # One dataset (and one decode thread pool) reused across the mode sweep — `mode`
     # is only read inside _load_one, and batches() drains its pool tasks per call.
     ds = ValClipDataset(items, p, mode=0, decode_w=decode_hw[1], decode_h=decode_hw[0])
-    for mode in range(p.num_modes):
-        ds.mode = mode
-        for batch in ds.batches(p.v_batch_size):
+    def _scored_batches():
+        for mode in range(p.num_modes):
+            ds.mode = mode
+            yield from ds.batches(p.v_batch_size)
+
+    # prefetch: the next batch decodes while the cf x hflip TTA sweep runs on device.
+    with prefetch(_scored_batches()) as batch_it:
+        for batch in batch_it:
             clips = jnp.asarray(batch.clips)  # one host->device transfer per batch
             for cf in p.cropping_facs:
                 for hf in p.hflip:
@@ -318,15 +324,18 @@ def train_action(
         lr = sched.epoch_lr(epoch, train_loss)
         opt_state = set_learning_rate(opt_state, lr)
         losses = []
-        for batch in train_ds.batches(p.batch_size, seed=seed + epoch):
-            rng, step_rng = jax.random.split(rng)
-            clips, labels, aug = jnp.asarray(batch.clips), jnp.asarray(batch.labels), batch.params.to_device()
-            if mesh is not None and batch.clips.shape[0] % mesh.devices.size == 0:
-                from ted_spad_tpu.parallel import shard_batch
+        # prefetch: decode of batch N+1 (the pool.map straggler tail) runs on a
+        # producer thread while step N executes — off the dispatch critical path.
+        with prefetch(train_ds.batches(p.batch_size, seed=seed + epoch)) as batch_it:
+            for batch in batch_it:
+                rng, step_rng = jax.random.split(rng)
+                clips, labels, aug = jnp.asarray(batch.clips), jnp.asarray(batch.labels), batch.params.to_device()
+                if mesh is not None and batch.clips.shape[0] % mesh.devices.size == 0:
+                    from ted_spad_tpu.parallel import shard_batch
 
-                clips, labels, aug = shard_batch(mesh, (clips, labels, aug))
-            variables, opt_state, loss = train_step(variables, opt_state, step_rng, clips, labels, aug)
-            losses.append(loss)  # raw device scalar; synced once per epoch (epoch_mean)
+                    clips, labels, aug = shard_batch(mesh, (clips, labels, aug))
+                variables, opt_state, loss = train_step(variables, opt_state, step_rng, clips, labels, aug)
+                losses.append(loss)  # raw device scalar; synced once per epoch (epoch_mean)
         train_loss = epoch_mean(losses)
         sched.update(train_loss)
         history["train_loss"].append(train_loss)

@@ -25,6 +25,7 @@ import numpy as np
 import optax
 
 from ted_spad_tpu.config.params import MGFNParams
+from ted_spad_tpu.data.prefetch import prefetch
 from ted_spad_tpu.data.features import (
     FeatureDataset,
     TestFeatureDataset,
@@ -240,12 +241,15 @@ def train_anomaly_detection(
         if p.lr_schedule:
             opt_state = set_learning_rate(opt_state, p.lr_schedule[min(epoch - 1, len(p.lr_schedule) - 1)])
         loss_val = float("nan")
-        for batch in paired_train_batches(
+        # prefetch: feature .npy loads + 32-seg pooling of batch N+1 run on a
+        # producer thread while step N executes.
+        with prefetch(paired_train_batches(
             normal_ds, abnormal_ds, p.batch_size, shuffle=shuffle, seed=p.seed + epoch
-        ):
-            rng, step_rng = jax.random.split(rng)
-            variables, opt_state, loss = train_step(variables, opt_state, step_rng, *map(jnp.asarray, batch))
-            loss_val = loss  # raw device scalar; synced after the loop
+        )) as batch_it:
+            for batch in batch_it:
+                rng, step_rng = jax.random.split(rng)
+                variables, opt_state, loss = train_step(variables, opt_state, step_rng, *map(jnp.asarray, batch))
+                loss_val = loss  # raw device scalar; synced after the loop
         auc_roc, auc_pr = evaluate(
             score_fn, variables, test_ds, gt,
             eval_batch=eval_batch, frames_per_clip=p.frames_per_clip,

@@ -32,6 +32,7 @@ import numpy as np
 
 from ted_spad_tpu.config.params import AnonymizationParams
 from ted_spad_tpu.data.images import vispr_batches
+from ted_spad_tpu.data.prefetch import prefetch
 from ted_spad_tpu.data.videos import ClipDataset
 from ted_spad_tpu.models import load_fa_model, load_fb_model, load_ft_model
 import functools
@@ -423,36 +424,40 @@ def train_anonymizer(
         video_it = video_ds.batches(p.batch_size, seed=seed + epoch)
         step = 1
         ep_losses = {"fa": [], "fb": [], "ft": [], "temporal": []}
-        for vispr_b, video_b in zip(vispr_it, video_it):
-            rng, k1, k2 = jax.random.split(rng, 3)
-            # Device-side augmentation for both modalities.
-            v_imgs = jnp.asarray(vispr_b.images)
-            v1 = _jit_augment(v_imgs[:, None], vispr_b.params.to_device(), out_h=p.reso_h, out_w=p.reso_w)[:, 0]
-            v2 = _jit_augment(v_imgs[:, None], vispr_b.params2.to_device(), out_h=p.reso_h, out_w=p.reso_w)[:, 0]
-            b, v = video_b.clips.shape[:2]
-            flat = jnp.asarray(video_b.clips).reshape((b * v,) + video_b.clips.shape[2:])
-            clips = _jit_augment(flat, video_b.params.to_device(), out_h=p.reso_h, out_w=p.reso_w)
-            clips = clips.reshape((b, v) + clips.shape[1:])
-            labels = jnp.asarray(video_b.labels)
-            if mesh is not None and b % mesh.devices.size == 0 and v1.shape[0] % mesh.devices.size == 0:
-                from ted_spad_tpu.parallel import shard_batch
+        # prefetch: both modalities' host decode (the video pool.map straggler tail +
+        # PIL image loads) runs a batch ahead on a producer thread, off the dispatch
+        # critical path of the alternating fa / fb-ft steps.
+        with prefetch(zip(vispr_it, video_it)) as paired_it:
+            for vispr_b, video_b in paired_it:
+                rng, k1, k2 = jax.random.split(rng, 3)
+                # Device-side augmentation for both modalities.
+                v_imgs = jnp.asarray(vispr_b.images)
+                v1 = _jit_augment(v_imgs[:, None], vispr_b.params.to_device(), out_h=p.reso_h, out_w=p.reso_w)[:, 0]
+                v2 = _jit_augment(v_imgs[:, None], vispr_b.params2.to_device(), out_h=p.reso_h, out_w=p.reso_w)[:, 0]
+                b, v = video_b.clips.shape[:2]
+                flat = jnp.asarray(video_b.clips).reshape((b * v,) + video_b.clips.shape[2:])
+                clips = _jit_augment(flat, video_b.params.to_device(), out_h=p.reso_h, out_w=p.reso_w)
+                clips = clips.reshape((b, v) + clips.shape[1:])
+                labels = jnp.asarray(video_b.labels)
+                if mesh is not None and b % mesh.devices.size == 0 and v1.shape[0] % mesh.devices.size == 0:
+                    from ted_spad_tpu.parallel import shard_batch
 
-                v1, v2, clips, labels = shard_batch(mesh, (v1, v2, clips, labels))
+                    v1, v2, clips, labels = shard_batch(mesh, (v1, v2, clips, labels))
 
-            if step == 1:
-                fa_vars, st_fa, lfa, lfb, lft, ltemp = fa_step(
-                    fa_vars, st_fa, fb_vars, ft_vars, k1, v1, v2, clips, labels
-                )
-                ep_losses["fa"].append(lfa)  # raw device scalars; one sync per epoch
-                step = 2
-            else:
-                fb_vars, ft_vars, st_fb, st_ft, lfb, lft, ltemp = fbft_step(
-                    fa_vars, fb_vars, ft_vars, st_fb, st_ft, k2, v1, v2, clips, labels
-                )
-                ep_losses["fb"].append(lfb)
-                ep_losses["ft"].append(lft)
-                ep_losses["temporal"].append(ltemp)
-                step = 1
+                if step == 1:
+                    fa_vars, st_fa, lfa, lfb, lft, ltemp = fa_step(
+                        fa_vars, st_fa, fb_vars, ft_vars, k1, v1, v2, clips, labels
+                    )
+                    ep_losses["fa"].append(lfa)  # raw device scalars; one sync per epoch
+                    step = 2
+                else:
+                    fb_vars, ft_vars, st_fb, st_ft, lfb, lft, ltemp = fbft_step(
+                        fa_vars, fb_vars, ft_vars, st_fb, st_ft, k2, v1, v2, clips, labels
+                    )
+                    ep_losses["fb"].append(lfb)
+                    ep_losses["ft"].append(lft)
+                    ep_losses["temporal"].append(ltemp)
+                    step = 1
 
         for k in ("fa", "fb", "ft", "temporal"):
             history[f"loss_{k}"].append(epoch_mean(ep_losses[k]))

@@ -23,6 +23,7 @@ import numpy as np
 
 from ted_spad_tpu.config.params import ReconstructionParams
 from ted_spad_tpu.data.images import sample_image_augment_params
+from ted_spad_tpu.data.prefetch import prefetch
 from ted_spad_tpu.models import load_fa_model
 from ted_spad_tpu.ops.augment import augment_batch, center_crop_resize
 from ted_spad_tpu.ops.losses import l1_loss
@@ -122,12 +123,21 @@ def train_reconstruction(
             opt_state = set_learning_rate(opt_state, lr)
             order = rng.permutation(len(train_source))
             losses = []
-            for s in range(len(order) // p.batch_size):
-                idx = order[s * p.batch_size : (s + 1) * p.batch_size]
-                images, _ = train_source.get_batch(idx)
-                aug = sample_image_augment_params(rng, len(idx), src_size, p.reso_h, p.reso_w)
-                variables, opt_state, loss = train_step(variables, opt_state, jnp.asarray(images), aug.to_device())
-                losses.append(loss)  # raw device scalar; synced once per epoch
+
+            def batch_gen():
+                # Runs on the prefetch producer thread: image loads + aug sampling for
+                # batch N+1 proceed while step N executes. Sequential generator, so the
+                # rng call order (and thus determinism) matches the inline loop.
+                for s in range(len(order) // p.batch_size):
+                    idx = order[s * p.batch_size : (s + 1) * p.batch_size]
+                    images, _ = train_source.get_batch(idx)
+                    aug = sample_image_augment_params(rng, len(idx), src_size, p.reso_h, p.reso_w)
+                    yield images, aug
+
+            with prefetch(batch_gen()) as batch_it:
+                for images, aug in batch_it:
+                    variables, opt_state, loss = train_step(variables, opt_state, jnp.asarray(images), aug.to_device())
+                    losses.append(loss)  # raw device scalar; synced once per epoch
             train_loss = epoch_mean(losses)
             sched.update(train_loss)
             history["train_loss"].append(train_loss)

@@ -27,6 +27,7 @@ import numpy as np
 
 from ted_spad_tpu.config.params import PrivacyParams
 from ted_spad_tpu.data.images import vispr_batches
+from ted_spad_tpu.data.prefetch import prefetch
 from ted_spad_tpu.models import load_fa_model, load_fb_model
 from ted_spad_tpu.ops.augment import augment_batch, center_crop_resize
 from ted_spad_tpu.ops.losses import bce_with_logits_loss
@@ -123,26 +124,30 @@ def train_privacy(
             lr = sched.epoch_lr(epoch)
             opt_state = set_learning_rate(opt_state, lr)
             losses = []
-            for batch in vispr_batches(
+            # prefetch: the PIL image loads of batch N+1 run on a producer thread
+            # while step N executes (closed on exception by the context manager).
+            with prefetch(vispr_batches(
                 train_source, p.batch_size, train=True, out_h=p.reso_h, out_w=p.reso_w, seed=seed + epoch
-            ):
-                variables, opt_state, loss = train_step(
-                    variables, opt_state, jnp.asarray(batch.images), jnp.asarray(batch.labels), batch.params.to_device()
-                )
-                losses.append(loss)  # raw device scalar; synced once per epoch
+            )) as batch_it:
+                for batch in batch_it:
+                    variables, opt_state, loss = train_step(
+                        variables, opt_state, jnp.asarray(batch.images), jnp.asarray(batch.labels), batch.params.to_device()
+                    )
+                    losses.append(loss)  # raw device scalar; synced once per epoch
             train_loss = epoch_mean(losses)
             sched.update(train_loss)
             history["train_loss"].append(train_loss)
 
             # Validation: full-split cMAP (train_privacy.py:70-119).
             all_scores, all_labels, vlosses = [], [], []
-            for batch in vispr_batches(
+            with prefetch(vispr_batches(
                 val_source, p.v_batch_size, train=False, out_h=p.reso_h, out_w=p.reso_w, drop_last=False
-            ):
-                vl, scores = eval_step(variables, jnp.asarray(batch.images), jnp.asarray(batch.labels))
-                vlosses.append(vl)
-                all_scores.append(np.asarray(scores))
-                all_labels.append(batch.labels)
+            )) as batch_it:
+                for batch in batch_it:
+                    vl, scores = eval_step(variables, jnp.asarray(batch.images), jnp.asarray(batch.labels))
+                    vlosses.append(vl)
+                    all_scores.append(np.asarray(scores))
+                    all_labels.append(batch.labels)
             scores = np.concatenate(all_scores)
             labels = np.concatenate(all_labels)
             cmap, per_class = macro_average_precision(labels, scores)
