@@ -45,7 +45,13 @@ from ted_spad_tpu.ops.losses import (
 )
 from ted_spad_tpu.ops.metrics import top1_accuracy
 from ted_spad_tpu.stages.common import LRScheduler, epoch_mean, make_optimizer, set_learning_rate
-from ted_spad_tpu.utils.checkpoint import BestCheckpointer, load_checkpoint, restore_like, save_temp
+from ted_spad_tpu.utils.checkpoint import (
+    BestCheckpointer,
+    flush_checkpoints,
+    load_checkpoint,
+    restore_like,
+    save_temp,
+)
 
 
 def _apply_fa_frames(fa_model, fa_vars, video: jnp.ndarray, quirk: bool = False) -> jnp.ndarray:
@@ -351,4 +357,5 @@ def train_action(
             f"epoch {epoch}: lr {lr:.2e} loss {train_loss:.4f} acc {acc:.4f} ({time.time() - t0:.1f}s)"
         )
 
+    flush_checkpoints()  # drain async saves before artifacts are read back
     return {"history": history, "best_acc": best.best, "best_path": best.best_path, "variables": variables}

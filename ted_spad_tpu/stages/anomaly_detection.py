@@ -35,7 +35,7 @@ from ted_spad_tpu.data.features import (
 from ted_spad_tpu.models import load_mgfn_model
 from ted_spad_tpu.ops.losses import mgfn_loss, smoothness_loss, sparsity_loss
 from ted_spad_tpu.ops.metrics import frame_level_scores, pr_auc, roc_auc
-from ted_spad_tpu.utils.checkpoint import BestCheckpointer, save_checkpoint
+from ted_spad_tpu.utils.checkpoint import BestCheckpointer, flush_checkpoints, save_checkpoint
 
 
 @dataclasses.dataclass
@@ -274,6 +274,7 @@ def train_anomaly_detection(
     final_path = save_checkpoint(
         os.path.join(save_dir, f"{p.model_name}_final.ckpt"), {"mgfn_model_state_dict": variables}
     )
+    flush_checkpoints()  # drain async best-ckpt saves before artifacts are read back
     return {
         "history": history,
         "best_metric": best.best,

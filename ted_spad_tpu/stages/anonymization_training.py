@@ -52,7 +52,7 @@ from ted_spad_tpu.ops.losses import (
 )
 from ted_spad_tpu.stages.action_training import evaluate_action, make_eval_step
 from ted_spad_tpu.stages.common import epoch_mean, make_optimizer, set_learning_rate
-from ted_spad_tpu.utils.checkpoint import BestCheckpointer, save_checkpoint, save_temp
+from ted_spad_tpu.utils.checkpoint import BestCheckpointer, flush_checkpoints, save_checkpoint, save_temp
 
 
 def _block_policy():
@@ -505,6 +505,7 @@ def train_anonymizer(
             f"ft {history['loss_ft'][-1]:.4f} acc {acc:.4f} ({time.time() - t0:.1f}s)"
         )
 
+    flush_checkpoints()  # drain async saves before artifacts are read back
     return {
         "history": history,
         "best_acc": best.best,

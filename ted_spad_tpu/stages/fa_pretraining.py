@@ -28,7 +28,7 @@ from ted_spad_tpu.models import load_fa_model
 from ted_spad_tpu.ops.augment import augment_batch, center_crop_resize
 from ted_spad_tpu.ops.losses import l1_loss
 from ted_spad_tpu.stages.common import LRScheduler, epoch_mean, make_optimizer, set_learning_rate
-from ted_spad_tpu.utils.checkpoint import BestCheckpointer, save_checkpoint, save_temp
+from ted_spad_tpu.utils.checkpoint import BestCheckpointer, flush_checkpoints, save_checkpoint, save_temp
 
 
 def make_train_step(model, optimizer, out_hw: tuple[int, int]) -> Callable:
@@ -174,4 +174,5 @@ def train_reconstruction(
             log_fn(f"epoch {epoch} failed; continuing:\n{traceback.format_exc()}")
             continue
 
+    flush_checkpoints()  # drain async saves before artifacts are read back
     return {"history": history, "best_path": best.best_path, "variables": variables}

@@ -33,7 +33,7 @@ from ted_spad_tpu.ops.augment import augment_batch, center_crop_resize
 from ted_spad_tpu.ops.losses import bce_with_logits_loss
 from ted_spad_tpu.ops.metrics import macro_average_precision, multilabel_prf1
 from ted_spad_tpu.stages.common import LRScheduler, epoch_mean, make_optimizer, set_learning_rate
-from ted_spad_tpu.utils.checkpoint import BestCheckpointer, save_temp
+from ted_spad_tpu.utils.checkpoint import BestCheckpointer, flush_checkpoints, save_temp
 
 
 def make_steps(
@@ -185,4 +185,5 @@ def train_privacy(
                     v.append(float("nan"))
             continue
 
+    flush_checkpoints()  # drain async saves before artifacts are read back
     return {"history": history, "best_cmap": best.best, "best_path": best.best_path, "variables": variables}

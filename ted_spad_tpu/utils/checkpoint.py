@@ -16,6 +16,7 @@ suffix in place of the reference's ``.pth``.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Mapping
 
 import flax.serialization
@@ -27,24 +28,115 @@ def _to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
 
 
+def _write_atomic(path: str, state: Any) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    data = flax.serialization.msgpack_serialize(state)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(path: str, payload: Mapping[str, Any]) -> str:
     """Atomically write a named-pytree dict (e.g. {'fa_model_state_dict': vars, 'epoch': 3}).
 
     ``to_state_dict`` first: optimizer states (optax namedtuples, including
     inject_hyperparams wrappers) become plain nested dicts msgpack can hold; restore with
     :func:`restore_like` against a live template."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    data = flax.serialization.msgpack_serialize(
-        flax.serialization.to_state_dict(_to_host(dict(payload)))
-    )
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
+    _write_atomic(path, flax.serialization.to_state_dict(_to_host(dict(payload))))
     return path
 
 
+class AsyncCheckpointWriter:
+    """Background msgpack writer: the device->host snapshot happens ON THE CALLER
+    (so the next donated train step can't invalidate buffers mid-fetch), while the
+    serialize + disk write — the per-epoch multi-second part at 100M-param scale —
+    runs on a worker thread off the train loop. Saves to the same path supersede
+    any queued one (rolling ``model_temp`` stays bounded); writes per path keep
+    submission order. ``flush()`` drains the queue and re-raises the first worker
+    error (call before reading artifacts back or returning from a driver)."""
+
+    def __init__(self):
+        self._lock = threading.Condition()
+        self._pending: dict[str, Any] = {}
+        self._order: list[str] = []
+        self._inflight = 0
+        self._error: BaseException | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def save(self, path: str, payload: Mapping[str, Any]) -> str:
+        # Snapshot NOW, with an explicit copy for host arrays: device arrays are
+        # immutable (np.asarray materializes a fresh host buffer before the next
+        # donated step can invalidate them), but a caller-held numpy buffer could
+        # be mutated while the worker is still serializing.
+        def conv(x):
+            if isinstance(x, np.ndarray):
+                return x.copy()
+            return np.asarray(x) if hasattr(x, "shape") else x
+
+        state = flax.serialization.to_state_dict(
+            jax.tree_util.tree_map(conv, dict(payload))
+        )
+        with self._lock:
+            if path not in self._pending:
+                self._order.append(path)
+            self._pending[path] = state
+            self._lock.notify_all()
+        return path
+
+    def _run(self) -> None:
+        while True:
+            with self._lock:
+                while not self._order:
+                    self._lock.wait()
+                path = self._order.pop(0)
+                state = self._pending.pop(path)
+                self._inflight += 1
+            try:
+                _write_atomic(path, state)
+            except BaseException as e:  # noqa: BLE001 — surfaced at flush()
+                with self._lock:
+                    if self._error is None:
+                        self._error = e
+            finally:
+                with self._lock:
+                    self._inflight -= 1
+                    self._lock.notify_all()
+
+    def flush(self) -> None:
+        with self._lock:
+            while self._order or self._inflight:
+                self._lock.wait()
+            if self._error is not None:
+                err, self._error = self._error, None
+                raise err
+
+
+_async_writer: AsyncCheckpointWriter | None = None
+_async_writer_lock = threading.Lock()
+
+
+def async_writer() -> AsyncCheckpointWriter:
+    """Process-wide background checkpoint writer (lazy singleton)."""
+    global _async_writer
+    with _async_writer_lock:
+        if _async_writer is None:
+            _async_writer = AsyncCheckpointWriter()
+        return _async_writer
+
+
+def flush_checkpoints() -> None:
+    """Drain pending async saves (no-op if none were made). Drivers call this before
+    returning so artifacts are durable and worker errors surface."""
+    with _async_writer_lock:
+        w = _async_writer
+    if w is not None:
+        w.flush()
+
+
 def load_checkpoint(path: str) -> dict[str, Any]:
+    flush_checkpoints()  # in-process read-after-write: drain pending async saves first
     with open(path, "rb") as f:
         return flax.serialization.msgpack_restore(f.read())
 
@@ -85,7 +177,9 @@ class BestCheckpointer:
             return None
         improved = self.best is None or (value > self.best if self.mode == "max" else value < self.best)
         path = os.path.join(self.directory, f"{self.name}_{epoch}_best_{value:.4f}.ckpt")
-        saved = save_checkpoint(path, {**payload, "epoch": epoch, "metric": value})
+        # Background write: the host snapshot is taken here (donation-safe); the
+        # serialize + disk IO happens off the train loop (flush_checkpoints drains).
+        saved = async_writer().save(path, {**payload, "epoch": epoch, "metric": value})
         if improved:
             self.best = value
             self.best_path = saved
@@ -93,8 +187,9 @@ class BestCheckpointer:
 
 
 def save_temp(directory: str, name: str, payload: Mapping[str, Any]) -> str:
-    """Rolling per-epoch checkpoint (``model_temp.pth`` equivalent, train_action.py:400-409)."""
-    return save_checkpoint(os.path.join(directory, f"{name}_temp.ckpt"), payload)
+    """Rolling per-epoch checkpoint (``model_temp.pth`` equivalent, train_action.py:400-409).
+    Written asynchronously; saves to the same path supersede queued ones."""
+    return async_writer().save(os.path.join(directory, f"{name}_temp.ckpt"), payload)
 
 
 # ---------------------------------------------------------------------------
