@@ -167,22 +167,30 @@ def evaluate(
         ncrops = shape[1] if len(shape) == 3 else 1
         by_bucket.setdefault((bucket_length(t, bucket_multiple), ncrops), []).append(i)
 
+    def _chunks():
+        # Runs on the prefetch producer thread: the .npy feature loads + pad/concat
+        # of chunk N+1 (the IO-heavy part — full 10-crop test features per epoch)
+        # overlap the device scoring of chunk N.
+        for indices in by_bucket.values():
+            for s in range(0, len(indices), eval_batch):
+                chunk_ids = indices[s : s + eval_batch]
+                chunk = []
+                for i in chunk_ids:
+                    feats, _ = test_ds[i]
+                    video, mask, t = padded_test_batch(feats, bucket_multiple)
+                    chunk.append((i, video, mask, t))
+                video = np.concatenate([c[1] for c in chunk], axis=0)
+                mask = np.concatenate([c[2] for c in chunk], axis=0)
+                # Pad the batch to eval_batch for a stable compile count per bucket.
+                pad = eval_batch - video.shape[0]
+                if pad:
+                    video = np.concatenate([video, np.repeat(video[-1:], pad, axis=0)])
+                    mask = np.concatenate([mask, np.repeat(mask[-1:], pad, axis=0)])
+                yield chunk, video, mask
+
     results: dict[int, np.ndarray] = {}
-    for indices in by_bucket.values():
-        for s in range(0, len(indices), eval_batch):
-            chunk_ids = indices[s : s + eval_batch]
-            chunk = []
-            for i in chunk_ids:
-                feats, _ = test_ds[i]
-                video, mask, t = padded_test_batch(feats, bucket_multiple)
-                chunk.append((i, video, mask, t))
-            video = np.concatenate([c[1] for c in chunk], axis=0)
-            mask = np.concatenate([c[2] for c in chunk], axis=0)
-            # Pad the batch to eval_batch for a stable compile count per bucket.
-            pad = eval_batch - video.shape[0]
-            if pad:
-                video = np.concatenate([video, np.repeat(video[-1:], pad, axis=0)])
-                mask = np.concatenate([mask, np.repeat(mask[-1:], pad, axis=0)])
+    with prefetch(_chunks()) as chunk_it:
+        for chunk, video, mask in chunk_it:
             scores = np.asarray(score_fn(variables, video, mask))
             for row, (i, _, _, t) in enumerate(chunk):
                 results[i] = scores[row, :t]
