@@ -86,7 +86,9 @@ def anonymize_video(
     y4m_frames = [] if not native_available() else None
     if native_available():
         video_path = os.path.join(out_dir, f"{base}_anon.mp4")
-        writer = VideoWriter(video_path, w, h, fps=fps)
+        # Explicit BT.601 tag: untagged streams at HD sizes get assumed BT.709 by
+        # players, shifting the anonymization preview's colors.
+        writer = VideoWriter(video_path, w, h, fps=fps, colorspace=601)
     else:
         video_path = os.path.join(out_dir, f"{base}_anon.y4m")
 
