@@ -474,6 +474,23 @@ def main() -> None:
 _WATCHDOG = {"timer": None}
 
 
+def _print_fail_record(detail: str) -> None:
+    """The driver's parse contract is exactly one JSON line per round — every
+    failure path (crash, watchdog) must emit the same record shape."""
+    print(
+        json.dumps(
+            {
+                "metric": "feature_extraction_clips_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "clips/s",
+                "vs_baseline": 0.0,
+                "detail": {"fatal_error": detail},
+            }
+        ),
+        flush=True,
+    )
+
+
 def _arm_watchdog(budget: int, label: str):
     """Deadman watchdog: a wedged device tunnel can hang backend init (or any remote
     dispatch) indefinitely INSIDE a C call, where neither SIGALRM handlers nor
@@ -490,18 +507,7 @@ def _arm_watchdog(budget: int, label: str):
         return
 
     def _fire():
-        print(
-            json.dumps(
-                {
-                    "metric": "feature_extraction_clips_per_sec_per_chip",
-                    "value": 0.0,
-                    "unit": "clips/s",
-                    "vs_baseline": 0.0,
-                    "detail": {"fatal_error": f"bench exceeded {budget}s during {label} (hung tunnel?)"},
-                }
-            ),
-            flush=True,
-        )
+        _print_fail_record(f"bench exceeded {budget}s during {label} (hung tunnel?)")
         os._exit(1)
 
     t = threading.Timer(budget, _fire)
@@ -518,18 +524,7 @@ if __name__ == "__main__":
         main()
         _arm_watchdog(0, "done")
     except Exception as e:  # noqa: BLE001 — never exit without the JSON line
-        # The driver records exactly one JSON line per round; a crash (flaky
-        # device tunnel, OOM, ...) must still produce a parseable record rather
-        # than an empty BENCH file.
-        print(
-            json.dumps(
-                {
-                    "metric": "feature_extraction_clips_per_sec_per_chip",
-                    "value": 0.0,
-                    "unit": "clips/s",
-                    "vs_baseline": 0.0,
-                    "detail": {"fatal_error": repr(e)},
-                }
-            )
-        )
+        # A crash (flaky device tunnel, OOM, ...) must still produce a parseable
+        # record rather than an empty BENCH file.
+        _print_fail_record(repr(e))
         raise SystemExit(1)

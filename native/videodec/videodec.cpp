@@ -102,12 +102,14 @@ int decode_next(Decoder* dec) {
   }
 }
 
-// Override a YUV<->RGB context's coefficient table from the stream's colorimetry tags:
-// family 709 selects the BT.709 matrix (601 is swscale's default assumption); src_full
-// honors a full-range tag on non-yuvj pixel formats (yuvj formats are auto-detected).
-// Preserves whatever range/brightness state the context already derived. A failure
-// (e.g. the conversion isn't table-driven) leaves the default behavior — not an error.
-void apply_yuv2rgb_colorspace(SwsContext* ctx, int family, int src_full) {
+// Override a YUV<->RGB context's coefficient tables from colorimetry tags: family
+// 709 selects the BT.709 matrix (601 is swscale's default assumption). Both table
+// sides get the coefficients (swscale uses whichever side is the YUV endpoint);
+// src_range/dst_range override the range flags when >= 0, -1 keeps what the
+// context already derived (e.g. yuvj auto-detection). Brightness state preserved.
+// A failure (conversion isn't table-driven) leaves the default behavior.
+void apply_sws_colorspace(SwsContext* ctx, int family, int src_range_ovr,
+                          int dst_range_ovr) {
   int *inv_table = nullptr, *table = nullptr;
   int src_range = 0, dst_range = 0, brightness = 0, contrast = 0, saturation = 0;
   if (sws_getColorspaceDetails(ctx, &inv_table, &src_range, &table, &dst_range,
@@ -115,7 +117,8 @@ void apply_yuv2rgb_colorspace(SwsContext* ctx, int family, int src_full) {
     return;
   const int* coeffs =
       sws_getCoefficients(family == 709 ? SWS_CS_ITU709 : SWS_CS_ITU601);
-  sws_setColorspaceDetails(ctx, coeffs, src_full ? 1 : src_range, table, dst_range,
+  sws_setColorspaceDetails(ctx, coeffs, src_range_ovr >= 0 ? src_range_ovr : src_range,
+                           coeffs, dst_range_ovr >= 0 ? dst_range_ovr : dst_range,
                            brightness, contrast, saturation);
 }
 
@@ -154,7 +157,9 @@ int to_rgb(Decoder* dec, uint8_t* out) {
     dec->sws_csp = f->colorspace;
     dec->sws_range = f->color_range;
     if (!dec->sws) return -1;
-    apply_yuv2rgb_colorspace(dec->sws, frame_matrix_family(f), frame_full_range(f));
+    // Honor a full-range tag on non-yuvj formats (-1 keeps yuvj auto-detection).
+    apply_sws_colorspace(dec->sws, frame_matrix_family(f),
+                         frame_full_range(f) ? 1 : -1, -1);
   }
   uint8_t* dst[4] = {out, nullptr, nullptr, nullptr};
   int dst_linesize[4] = {dec->out_w * 3, 0, 0, 0};
@@ -600,17 +605,9 @@ void* ve_open_cs(const char* path, int w, int h, double fps, const char* codec_n
   enc->sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
                             SWS_BILINEAR, nullptr, nullptr, nullptr);
   if (enc->sws && (cs_family == 601 || cs_family == 709)) {
-    // RGB->YUV with the tagged matrix (table = dst side for RGB sources); limited
-    // range to match the AVCOL_RANGE_MPEG tag above.
-    int *inv_table = nullptr, *table = nullptr;
-    int src_range = 0, dst_range = 0, brightness = 0, contrast = 0, saturation = 0;
-    if (sws_getColorspaceDetails(enc->sws, &inv_table, &src_range, &table, &dst_range,
-                                 &brightness, &contrast, &saturation) >= 0) {
-      const int* coeffs =
-          sws_getCoefficients(cs_family == 709 ? SWS_CS_ITU709 : SWS_CS_ITU601);
-      sws_setColorspaceDetails(enc->sws, coeffs, src_range, coeffs, 0, brightness,
-                               contrast, saturation);
-    }
+    // RGB->YUV with the tagged matrix; dst limited range to match the
+    // AVCOL_RANGE_MPEG tag above (src RGB range kept).
+    apply_sws_colorspace(enc->sws, cs_family, -1, 0);
   }
   enc->yuv = av_frame_alloc();
   enc->yuv->format = AV_PIX_FMT_YUV420P;

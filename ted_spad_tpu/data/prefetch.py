@@ -85,7 +85,10 @@ class PrefetchIterator:
 
     def close(self) -> None:
         """Stop the producer (idempotent). Safe mid-iteration — the source
-        generator's ``close()`` runs on the producer thread."""
+        generator's ``close()`` runs on the producer thread. The join waits long
+        enough for an in-flight source step (e.g. a pool.map decode straggler) to
+        finish; a producer still alive after that is stuck inside the source — warn,
+        since it may briefly contend with a successor over the dataset's pool."""
         self._stop.set()
         # Unblock a producer waiting on a full queue.
         try:
@@ -93,7 +96,15 @@ class PrefetchIterator:
                 self._q.get_nowait()
         except queue.Empty:
             pass
-        self._thread.join(timeout=5.0)
+        self._thread.join(timeout=30.0)
+        if self._thread.is_alive():
+            import sys
+
+            print(
+                "PrefetchIterator.close(): producer still inside the source after 30s; "
+                "it will exit after its current item (daemon thread).",
+                file=sys.stderr,
+            )
 
     def __enter__(self) -> "PrefetchIterator":
         return self

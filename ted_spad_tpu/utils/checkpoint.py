@@ -53,17 +53,26 @@ class AsyncCheckpointWriter:
     serialize + disk write — the per-epoch multi-second part at 100M-param scale —
     runs on a worker thread off the train loop. Saves to the same path supersede
     any queued one (rolling ``model_temp`` stays bounded); writes per path keep
-    submission order. ``flush()`` drains the queue and re-raises the first worker
-    error (call before reading artifacts back or returning from a driver)."""
+    submission order; at most ``max_pending`` DISTINCT paths queue before save()
+    blocks (backpressure — distinct-path best-ckpt snapshots are ~full-model-sized
+    and must not accumulate ahead of a slow disk). ``flush()`` drains the queue and
+    re-raises the first worker error (call before reading artifacts back or
+    returning from a driver). An atexit hook drains best-effort on ANY process
+    exit — an exception escaping a train loop cannot silently drop queued writes
+    (errors there are printed to stderr rather than raised)."""
 
-    def __init__(self):
+    def __init__(self, max_pending: int = 2):
+        import atexit
+
         self._lock = threading.Condition()
         self._pending: dict[str, Any] = {}
         self._order: list[str] = []
+        self._max_pending = max_pending
         self._inflight = 0
         self._error: BaseException | None = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
+        atexit.register(self._drain_at_exit)
 
     def save(self, path: str, payload: Mapping[str, Any]) -> str:
         # Snapshot NOW, with an explicit copy for host arrays: device arrays are
@@ -79,11 +88,23 @@ class AsyncCheckpointWriter:
             jax.tree_util.tree_map(conv, dict(payload))
         )
         with self._lock:
+            # Same-path saves always supersede in place; a NEW path waits for queue
+            # room (the synchronous writer's natural backpressure, ≥max_pending deep).
+            while path not in self._pending and len(self._order) >= self._max_pending:
+                self._lock.wait()
             if path not in self._pending:
                 self._order.append(path)
             self._pending[path] = state
             self._lock.notify_all()
         return path
+
+    def _drain_at_exit(self) -> None:
+        try:
+            self.flush()
+        except BaseException as e:  # noqa: BLE001 — exit path: report, don't raise
+            import sys
+
+            print(f"AsyncCheckpointWriter: checkpoint write failed: {e!r}", file=sys.stderr)
 
     def _run(self) -> None:
         while True:
@@ -93,6 +114,7 @@ class AsyncCheckpointWriter:
                 path = self._order.pop(0)
                 state = self._pending.pop(path)
                 self._inflight += 1
+                self._lock.notify_all()  # a queue slot freed: unblock waiting save()
             try:
                 _write_atomic(path, state)
             except BaseException as e:  # noqa: BLE001 — surfaced at flush()

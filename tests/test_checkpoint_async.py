@@ -63,6 +63,37 @@ def test_save_temp_and_load_are_read_after_write_consistent(tmp_path):
     flush_checkpoints()  # idempotent
 
 
+def test_atexit_drains_unflushed_saves(tmp_path):
+    """An exception escaping a train loop (no flush call) must not drop queued
+    writes: the writer's atexit hook drains on process exit."""
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "orphan.ckpt")
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from ted_spad_tpu.utils.checkpoint import async_writer\n"
+        "async_writer().save(%r, {'epoch': 11})\n"
+        "raise SystemExit(3)  # exit WITHOUT flushing\n"
+    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), path)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, timeout=120,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 3, r.stderr.decode()
+    state = load_checkpoint(path)
+    assert state["epoch"] == 11
+
+
+def test_distinct_path_backpressure_all_durable(tmp_path):
+    # More distinct paths than max_pending: save() applies backpressure instead of
+    # accumulating snapshots; every artifact lands.
+    w = AsyncCheckpointWriter(max_pending=2)
+    for i in range(7):
+        w.save(str(tmp_path / f"ck_{i}.ckpt"), {"epoch": i})
+    w.flush()
+    for i in range(7):
+        assert load_checkpoint(str(tmp_path / f"ck_{i}.ckpt"))["epoch"] == i
+
+
 def test_best_checkpointer_async_artifacts_durable_after_flush(tmp_path):
     best = BestCheckpointer(str(tmp_path), "model", mode="max")
     assert best.maybe_save(0.5, 1, {"x": np.ones(3, np.float32)}) is not None
