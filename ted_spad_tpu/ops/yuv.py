@@ -50,6 +50,7 @@ def fused_preprocess_yuv(
     out_dtype: jnp.dtype = jnp.bfloat16,
     full_range: bool = False,
     bt709: Array | None = None,
+    full: Array | None = None,
 ) -> Array:
     """(B,T,H,W) + 2x(B,T,H/2,W/2) uint8 planes -> (B,T,out_h,out_w,3) [0,1] RGB.
 
@@ -57,9 +58,11 @@ def fused_preprocess_yuv(
     true for the 240x320 @ 0.8 extraction config); callers fall back to the RGB
     path otherwise.
 
-    ``bt709``: optional (B,) bool/0-1 row flags — rows marked True convert with the
-    BT.709 matrix instead of BT.601 (a per-row affine-coefficient select; the plane
-    resampling is colorspace-independent). None = all BT.601.
+    ``bt709`` / ``full``: optional (B,) bool/0-1 row flags — rows marked in
+    ``bt709`` convert with the BT.709 matrix instead of BT.601, rows marked in
+    ``full`` use the full-range (yuvj/pc) transfer instead of limited/studio
+    (per-row affine-coefficient selects; the plane resampling is
+    colorspace-independent). None = BT.601 / the static ``full_range`` flag.
     """
     h, w = y_u8.shape[-2], y_u8.shape[-1]
     if cropping_factor <= 1:
@@ -83,14 +86,26 @@ def fused_preprocess_yuv(
     uf = resample(u_u8, cry, crxt) - 128.0
     vf = resample(v_u8, cry, crxt) - 128.0
 
-    c601 = _BT601_FULL if full_range else _BT601_LIMITED
-    if bt709 is None:
-        c = c601
+    if bt709 is None and full is None:
+        c = _BT601_FULL if full_range else _BT601_LIMITED
     else:
-        # Per-row coefficient select: broadcast (B,) flags over (B,T,out_h,out_w).
-        c709 = _BT709_FULL if full_range else _BT709_LIMITED
-        sel = bt709.astype(jnp.float32).reshape(bt709.shape + (1,) * (yf.ndim - bt709.ndim))
-        c = {k: c601[k] + (c709[k] - c601[k]) * sel for k in c601}
+        # Per-row coefficient select over the 4 (matrix x range) sets: a (B,) index
+        # gathers each scalar coefficient, broadcast over (B,T,out_h,out_w).
+        b = (bt709 if bt709 is not None else full).shape[0]
+        sel709 = (
+            bt709.astype(jnp.int32) if bt709 is not None else jnp.zeros((b,), jnp.int32)
+        )
+        if full is not None:
+            selfull = full.astype(jnp.int32)
+        else:
+            selfull = jnp.full((b,), int(full_range), jnp.int32)
+        idx = sel709 + 2 * selfull  # 0: 601L, 1: 709L, 2: 601F, 3: 709F
+        sets = (_BT601_LIMITED, _BT709_LIMITED, _BT601_FULL, _BT709_FULL)
+        shape = (b,) + (1,) * (yf.ndim - 1)
+        c = {
+            k: jnp.take(jnp.asarray([s[k] for s in sets], jnp.float32), idx).reshape(shape)
+            for k in _BT601_LIMITED
+        }
     yy = c["ky"] * (yf - c["y_off"])
     r = yy + c["rv"] * vf
     g = yy + c["gu"] * uf + c["gv"] * vf

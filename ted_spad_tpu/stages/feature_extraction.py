@@ -69,9 +69,9 @@ def iter_clip_batches(
     buffer of [Y | U | V | tag] rows at native resolution — 1.5 bytes/px of
     host->device traffic in a single contiguous transfer, no host-side color
     conversion (the planar ingest mode; ops/yuv.py unpacks and converts on device).
-    The trailing tag byte marks BT.709-tagged videos (255) vs BT.601/untagged (0) so
-    one compiled program converts mixed batches with the right matrix per clip.
-    Full-range (yuvj) and exotically-tagged (BT.2020 etc.) sources are rejected —
+    The trailing tag byte is a bitmask (bit 0 = BT.709 matrix, bit 1 = full-range
+    yuvj/pc transfer) so one compiled program converts mixed batches with the right
+    coefficients per clip. Exotically-tagged (BT.2020 etc.) sources are rejected —
     use rgb mode for those.
 
     ``on_error``: when given, a video whose decode raises is skipped — the callback
@@ -106,15 +106,11 @@ def iter_clip_batches(
                     "BT.601 (and untagged, swscale's default) and BT.709; use "
                     "decode_mode='rgb' for this source"
                 )
-            cs_tag = 255 if cs == 709 else 0  # per-row tag byte, see make_extract_step
+            cs_tag = 1 if cs == 709 else 0  # tag-byte bit 0, see make_extract_step
         clips = []
         for ci, s in enumerate(starts):
             if decode_mode == "yuv":
                 y, u, v, full = vr.read_strided_yuv(s, p.num_frames, p.clip_stride)
-                if full:
-                    raise RuntimeError(
-                        f"{uri}: full-range (yuvj) source — use decode_mode='rgb'"
-                    )
                 if y.shape[-2:] != tuple(decode_hw):
                     raise RuntimeError(
                         f"{uri}: native size {y.shape[-2:]} != decode_hw {decode_hw} — "
@@ -122,10 +118,11 @@ def iter_clip_batches(
                         "or use decode_mode='rgb' (which rescales)"
                     )
                 t = y.shape[0]
-                # Trailing tag byte: 255 = BT.709-tagged source, 0 = BT.601/untagged.
-                # Rides the packed row so batches can mix videos with different tags
-                # without changing the (clips, refs, counts) batch interface.
-                tag = np.full((t, 1), cs_tag, np.uint8)
+                # Trailing tag byte (bitmask): bit 0 = BT.709-tagged, bit 1 =
+                # full-range (yuvj/pc). Rides the packed row so batches can mix
+                # videos with different colorimetry without changing the
+                # (clips, refs, counts) batch interface.
+                tag = np.full((t, 1), cs_tag | (2 if full else 0), np.uint8)
                 packed = np.concatenate(
                     [y.reshape(t, -1), u.reshape(t, -1), v.reshape(t, -1), tag], axis=1
                 )
@@ -231,12 +228,15 @@ def make_extract_step(
             b, t = clips_u8.shape[0], clips_u8.shape[1]
             yb, cb = h * w, (h // 2) * (w // 2)
             # Two packed layouts (static shape -> trace-time branch): yb+2*cb plain
-            # planes (BT.601 only), or +1 trailing tag byte per row — 255 marks a
-            # BT.709-tagged video, selecting the 709 matrix for that clip on device.
+            # planes (BT.601 limited only), or +1 trailing tag byte per row — a
+            # bitmask (bit 0 = BT.709 matrix, bit 1 = full range) selecting the
+            # conversion coefficients per clip on device.
             if clips_u8.shape[-1] == yb + 2 * cb:
-                bt709 = None
+                bt709 = full_rows = None
             elif clips_u8.shape[-1] == yb + 2 * cb + 1:
-                bt709 = clips_u8[:, 0, -1] > 0  # (B,) per-clip flags
+                tag = clips_u8[:, 0, -1]
+                bt709 = (tag & 1) > 0  # (B,) per-clip flags
+                full_rows = (tag & 2) > 0
             else:
                 raise ValueError(
                     f"packed yuv row is {clips_u8.shape[-1]} bytes; expected "
@@ -249,7 +249,7 @@ def make_extract_step(
                 y_u8, u_u8, v_u8, out_h=p.reso_h, out_w=p.reso_w,
                 cropping_factor=p.cropping_factor,
                 out_dtype=jnp.dtype(p.compute_dtype),
-                bt709=bt709,
+                bt709=bt709, full=full_rows,
             ).astype(jnp.float32)
         elif use_pallas and not p.no_ar_distortion:
             from ted_spad_tpu.ops.pallas_preprocess import fused_preprocess

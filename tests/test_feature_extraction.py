@@ -201,7 +201,7 @@ def test_yuv_bt709_flows_with_tag_byte(monkeypatch):
         assert clips.shape[-1] == plane_bytes + 1
         for row, ref in enumerate(refs):
             tags.setdefault(ref.video_idx, set()).add(int(clips[row, 0, -1]))
-    assert tags[0] == {255} and tags[1] == {0}
+    assert tags[0] == {1} and tags[1] == {0}  # bit 0 = BT.709; limited range (bit 1 clear)
 
 
 def test_yuv_rejects_exotic_colorspace(monkeypatch):

@@ -142,6 +142,61 @@ def test_bt709_full_range_matches_oracle():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_four_way_matrix_range_mix_matches_oracle():
+    """One batch mixing all four (matrix x range) combinations — one compiled
+    program converts each row with its own coefficients (the extraction tag-byte
+    path's device half)."""
+    rng = np.random.default_rng(9)
+    y = rng.integers(16, 236, (4, 2, 48, 64), np.uint8)
+    u = rng.integers(16, 241, (4, 2, 24, 32), np.uint8)
+    v = rng.integers(16, 241, (4, 2, 24, 32), np.uint8)
+    bt709 = np.asarray([False, True, False, True])
+    full = np.asarray([False, False, True, True])
+    got = np.asarray(
+        fused_preprocess_yuv(y, u, v, out_h=32, out_w=40, cropping_factor=0.75,
+                             out_dtype=np.float32, bt709=bt709, full=full)
+    )
+    for row, (m, fr) in enumerate(zip(("601", "709", "601", "709"), full)):
+        ref = _numpy_oracle(y[row : row + 1], u[row : row + 1], v[row : row + 1],
+                            32, 40, 0.75, full_range=bool(fr), matrix=m)[0]
+        np.testing.assert_allclose(got[row], ref, rtol=1e-4, atol=1e-4, err_msg=f"row {row}")
+
+
+@pytest.mark.skipif(not native_available(), reason="native videodec unavailable")
+def test_extract_features_yuv_mode_full_range_y4m(tmp_path):
+    """End-to-end: a real full-range file (Y4M, XCOLORRANGE=FULL) extracts in yuv
+    mode — the tag byte carries the range bit and the device conversion uses the
+    full-range transfer — matching the (also range-honoring) rgb mode."""
+    from ted_spad_tpu.config.params import FeatureExtractionParams
+    from ted_spad_tpu.data.video_reader import write_y4m
+    from ted_spad_tpu.stages.feature_extraction import extract_features
+
+    yy, xx = np.mgrid[0:40, 0:80].astype(np.float32)
+    t = np.arange(48, dtype=np.float32)[:, None, None]
+    frames = np.stack(
+        [
+            np.clip(127.5 + 90 * np.sin(xx / 9 + t / 5), 0, 255),
+            np.clip(127.5 + 80 * np.cos(yy / 7 - t / 9), 0, 255),
+            np.clip(127.5 + 85 * np.sin((xx + yy) / 11 + t / 7), 0, 255),
+        ],
+        -1,
+    ).astype(np.uint8)
+    path = str(tmp_path / "vfull.y4m")
+    write_y4m(path, frames)
+
+    p = FeatureExtractionParams(
+        num_frames=8, reso_h=48, reso_w=64, compute_dtype="float32", anonymized=False
+    )
+    r_rgb = extract_features(p, [path], str(tmp_path / "rgb"), decode_hw=(40, 80),
+                             batch_size=4, log_fn=lambda s: None)
+    r_yuv = extract_features(p, [path], str(tmp_path / "yuv"), decode_hw=(40, 80),
+                             batch_size=4, decode_mode="yuv", log_fn=lambda s: None)
+    assert r_yuv["clips"] == r_rgb["clips"] > 0
+    a, b = np.load(r_rgb["saved"][path]), np.load(r_yuv["saved"][path])
+    cos = (a * b).sum() / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-9)
+    assert cos > 0.99, cos
+
+
 @pytest.mark.skipif(not native_available(), reason="native videodec unavailable")
 def test_native_bt709_roundtrip_and_parity(tmp_path):
     """A BT.709-tagged encode (ve_open_cs) roundtrips: the tag survives the container,
