@@ -276,6 +276,46 @@ def test_extract_features_yuv_mode_bt709_file(tmp_path):
     assert cos > 0.99, cos
 
 
+@pytest.mark.skipif(not native_available(), reason="native videodec unavailable")
+def test_extract_features_yuv_mode_mixed_colorimetry_run(tmp_path):
+    """ONE extraction run over three real files with different colorimetry (BT.709
+    mp4, BT.601 mp4, full-range Y4M): cross-video packing mixes their clips within
+    batches, and the per-row tag byte must keep each video's conversion correct —
+    every video's yuv-mode features match its rgb-mode features."""
+    from ted_spad_tpu.config.params import FeatureExtractionParams
+    from ted_spad_tpu.data.video_reader import write_y4m
+    from ted_spad_tpu.stages.feature_extraction import extract_features
+
+    yy, xx = np.mgrid[0:40, 0:80].astype(np.float32)
+    t = np.arange(48, dtype=np.float32)[:, None, None]
+    frames = np.stack(
+        [
+            np.clip(127.5 + 90 * np.sin(xx / 9 + t / 5), 0, 255),
+            np.clip(127.5 + 80 * np.cos(yy / 7 - t / 9), 0, 255),
+            np.clip(127.5 + 85 * np.sin((xx + yy) / 11 + t / 7), 0, 255),
+        ],
+        -1,
+    ).astype(np.uint8)
+    p709 = write_mp4(str(tmp_path / "v709.mp4"), frames, codec="libx264", colorspace=709)
+    p601 = write_mp4(str(tmp_path / "v601.mp4"), frames, codec="libx264", colorspace=601)
+    pfull = write_y4m(str(tmp_path / "vfull.y4m"), frames)
+    uris = [p709, p601, pfull]
+
+    p = FeatureExtractionParams(
+        num_frames=8, reso_h=48, reso_w=64, compute_dtype="float32", anonymized=False
+    )
+    # batch 4 vs 3 clips/video -> batches straddle video boundaries (mixed rows).
+    r_rgb = extract_features(p, uris, str(tmp_path / "rgb"), decode_hw=(40, 80),
+                             batch_size=4, log_fn=lambda s: None)
+    r_yuv = extract_features(p, uris, str(tmp_path / "yuv"), decode_hw=(40, 80),
+                             batch_size=4, decode_mode="yuv", log_fn=lambda s: None)
+    assert r_yuv["clips"] == r_rgb["clips"] > 0
+    for uri in uris:
+        a, b = np.load(r_rgb["saved"][uri]), np.load(r_yuv["saved"][uri])
+        cos = (a * b).sum() / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-9)
+        assert cos > 0.99, (uri, cos)
+
+
 def test_misaligned_crop_rejected():
     y = np.zeros((1, 1, 50, 64), np.uint8)  # cf .8 of 50 -> 40 crop, offset 5 (odd)
     u = np.zeros((1, 1, 25, 32), np.uint8)
