@@ -134,7 +134,7 @@ def fused_double_conv(
         kernel,
         grid=(n, h // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # manual haloed DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # manual haloed DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
