@@ -192,6 +192,18 @@ int to_yuv420(Decoder* dec, uint8_t* y, uint8_t* u, uint8_t* v) {
                                   AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr, nullptr);
     dec->sws_yuv_fmt = f->format;
     if (!dec->sws_yuv) return -1;
+    // This conversion must be RANGE-PRESERVING: the caller's tag (vd_full_range)
+    // tells the device which transfer to apply, so the planes must keep the
+    // source's range. swscale's J-format handling would otherwise COMPRESS
+    // yuvj422p/yuvj444p (e.g. MJPEG) to limited while the tag still says full.
+    // Force dstRange = the derived srcRange so no range conversion happens.
+    int *inv_table = nullptr, *table = nullptr;
+    int src_range = 0, dst_range = 0, brightness = 0, contrast = 0, saturation = 0;
+    if (sws_getColorspaceDetails(dec->sws_yuv, &inv_table, &src_range, &table,
+                                 &dst_range, &brightness, &contrast, &saturation) >= 0) {
+      sws_setColorspaceDetails(dec->sws_yuv, inv_table, src_range, table, src_range,
+                               brightness, contrast, saturation);
+    }
   }
   uint8_t* dst[4] = {y, u, v, nullptr};
   int ls[4] = {W, cw, cw, 0};

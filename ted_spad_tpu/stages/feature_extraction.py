@@ -199,7 +199,8 @@ def make_extract_step(
     [Y|U|V|tag] buffer per batch (decode_mode='yuv', plane size from ``yuv_hw``) and
     fuses chroma upsample + YCbCr->RGB into the preprocess (ops/yuv.py) — half the
     host->device bytes of RGB24 in a single contiguous transfer. The optional tag
-    byte selects BT.709 (255) vs BT.601 (0) per clip row.
+    byte is a bitmask selecting the conversion per clip row: bit 0 = BT.709 matrix
+    (clear = BT.601), bit 1 = full-range transfer (clear = limited/studio).
     ``mesh``: a 1-D ``jax.sharding.Mesh`` to shard the clip batch over local chips
     (params replicated) — the DataParallel replacement (dali_extraction.py:128-133)."""
     if yuv and p.no_ar_distortion:

@@ -33,9 +33,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_mgfn_train_and_eval():
-    port = _free_port()
+def _launch_ranks(port: int) -> list[tuple[int, str, str]]:
     env = {
         **os.environ,
         "JAX_PLATFORMS": "cpu",
@@ -50,10 +48,31 @@ def test_two_process_mgfn_train_and_eval():
         )
         for i in range(2)
     ]
+    results = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            results.append((p.returncode, out, err))
+    finally:
+        # A hung/crashed rank must not orphan its peer (it would block forever in
+        # the collective and hold the coordinator port past the test).
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_mgfn_train_and_eval():
+    # _free_port closes the socket before the rank-0 coordinator rebinds it — on
+    # a busy host the port can be stolen in between, so retry once on a fresh one.
+    results = _launch_ranks(_free_port())
+    if any(rc != 0 for rc, _, _ in results):
+        results = _launch_ranks(_free_port())
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        assert p.returncode == 0, f"worker failed:\nstdout:\n{out}\nstderr:\n{err}"
+    for rc, out, err in results:
+        assert rc == 0, f"worker failed:\nstdout:\n{out}\nstderr:\n{err}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
 
     # Both ranks computed the SAME replicated result (the psum actually synced).

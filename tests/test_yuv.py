@@ -39,6 +39,21 @@ def _numpy_oracle(y, u, v, out_h, out_w, cf, full_range=False, matrix="601"):
     return np.clip(rgb, 0, 1)
 
 
+def _chroma_rich_frames(t: int, h: int, w: int) -> np.ndarray:
+    """Smooth (codec-friendly) but chroma-rich frames — saturated colors make the
+    601/709 matrix difference visible, which the cosine assertions rely on."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    ts = np.arange(t, dtype=np.float32)[:, None, None]
+    return np.stack(
+        [
+            np.clip(127.5 + 90 * np.sin(xx / 9 + ts / 5), 0, 255),
+            np.clip(127.5 + 80 * np.cos(yy / 7 - ts / 9), 0, 255),
+            np.clip(127.5 + 85 * np.sin((xx + yy) / 11 + ts / 7), 0, 255),
+        ],
+        -1,
+    ).astype(np.uint8)
+
+
 def test_matches_numpy_oracle():
     rng = np.random.default_rng(0)
     y = rng.integers(16, 236, (2, 3, 48, 64), np.uint8)
@@ -171,16 +186,7 @@ def test_extract_features_yuv_mode_full_range_y4m(tmp_path):
     from ted_spad_tpu.data.video_reader import write_y4m
     from ted_spad_tpu.stages.feature_extraction import extract_features
 
-    yy, xx = np.mgrid[0:40, 0:80].astype(np.float32)
-    t = np.arange(48, dtype=np.float32)[:, None, None]
-    frames = np.stack(
-        [
-            np.clip(127.5 + 90 * np.sin(xx / 9 + t / 5), 0, 255),
-            np.clip(127.5 + 80 * np.cos(yy / 7 - t / 9), 0, 255),
-            np.clip(127.5 + 85 * np.sin((xx + yy) / 11 + t / 7), 0, 255),
-        ],
-        -1,
-    ).astype(np.uint8)
+    frames = _chroma_rich_frames(48, 40, 80)
     path = str(tmp_path / "vfull.y4m")
     write_y4m(path, frames)
 
@@ -204,16 +210,7 @@ def test_native_bt709_roundtrip_and_parity(tmp_path):
     matrix would), and the planar path with the per-row flag matches the RGB path."""
     from ted_spad_tpu.data.video_reader import VideoReader
 
-    yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
-    t = np.arange(24, dtype=np.float32)[:, None, None]
-    frames = np.stack(
-        [
-            np.clip(127.5 + 90 * np.sin(xx / 9 + t / 5), 0, 255),
-            np.clip(127.5 + 80 * np.cos(yy / 7 - t / 9), 0, 255),
-            np.clip(127.5 + 85 * np.sin((xx + yy) / 11 + t / 7), 0, 255),
-        ],
-        -1,
-    ).astype(np.uint8)
+    frames = _chroma_rich_frames(24, 48, 64)
     path = str(tmp_path / "v709.mp4")
     write_mp4(path, frames, fps=25.0, codec="libx264", colorspace=709)
 
@@ -250,16 +247,7 @@ def test_extract_features_yuv_mode_bt709_file(tmp_path):
     from ted_spad_tpu.config.params import FeatureExtractionParams
     from ted_spad_tpu.stages.feature_extraction import extract_features
 
-    yy, xx = np.mgrid[0:40, 0:80].astype(np.float32)
-    t = np.arange(48, dtype=np.float32)[:, None, None]
-    frames = np.stack(
-        [
-            np.clip(127.5 + 90 * np.sin(xx / 9 + t / 5), 0, 255),
-            np.clip(127.5 + 80 * np.cos(yy / 7 - t / 9), 0, 255),
-            np.clip(127.5 + 85 * np.sin((xx + yy) / 11 + t / 7), 0, 255),
-        ],
-        -1,
-    ).astype(np.uint8)
+    frames = _chroma_rich_frames(48, 40, 80)
     path = str(tmp_path / "v709.mp4")
     write_mp4(path, frames, fps=25.0, codec="libx264", colorspace=709)
 
@@ -286,16 +274,7 @@ def test_extract_features_yuv_mode_mixed_colorimetry_run(tmp_path):
     from ted_spad_tpu.data.video_reader import write_y4m
     from ted_spad_tpu.stages.feature_extraction import extract_features
 
-    yy, xx = np.mgrid[0:40, 0:80].astype(np.float32)
-    t = np.arange(48, dtype=np.float32)[:, None, None]
-    frames = np.stack(
-        [
-            np.clip(127.5 + 90 * np.sin(xx / 9 + t / 5), 0, 255),
-            np.clip(127.5 + 80 * np.cos(yy / 7 - t / 9), 0, 255),
-            np.clip(127.5 + 85 * np.sin((xx + yy) / 11 + t / 7), 0, 255),
-        ],
-        -1,
-    ).astype(np.uint8)
+    frames = _chroma_rich_frames(48, 40, 80)
     p709 = write_mp4(str(tmp_path / "v709.mp4"), frames, codec="libx264", colorspace=709)
     p601 = write_mp4(str(tmp_path / "v601.mp4"), frames, codec="libx264", colorspace=601)
     pfull = write_y4m(str(tmp_path / "vfull.y4m"), frames)
