@@ -36,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "train"
 
     from ted_spad_tpu.parallel.multihost import (
         initialize_distributed,
@@ -45,6 +46,27 @@ def main() -> None:
 
     initialize_distributed(f"localhost:{port}", nproc, pid)
     assert jax.process_count() == nproc
+
+    if mode == "extract":
+        # Per-host extraction recipe: each process extracts ITS file shard
+        # (process_shard == DALI shard_id/num_shards) on its local device — no
+        # global mesh needed; hosts are independent (dali_extraction.py:63-64).
+        out_dir = sys.argv[5]
+        from ted_spad_tpu.config.params import FeatureExtractionParams
+        from ted_spad_tpu.stages.feature_extraction import extract_features
+
+        sid, nsh = process_shard()
+        p = FeatureExtractionParams(
+            num_frames=8, reso_h=48, reso_w=64, compute_dtype="float32", anonymized=False
+        )
+        uris = [f"synthetic://n=48,h=40,w=80,seed={1000 * i}" for i in range(4)]
+        res = extract_features(
+            p, uris, out_dir, decode_hw=(40, 80), batch_size=4,
+            shard_id=sid, num_shards=nsh, log_fn=lambda s: None,
+        )
+        print(json.dumps({"pid": pid, "saved": sorted(res["saved"]),
+                          "clips": res["clips"]}), flush=True)
+        return
 
     import jax.numpy as jnp
     import numpy as np

@@ -33,7 +33,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch_ranks(port: int) -> list[tuple[int, str, str]]:
+def _launch_ranks(port: int, *extra_args: str) -> list[tuple[int, str, str]]:
     env = {
         **os.environ,
         "JAX_PLATFORMS": "cpu",
@@ -43,7 +43,7 @@ def _launch_ranks(port: int) -> list[tuple[int, str, str]]:
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, str(i), "2", str(port)],
+            [sys.executable, _WORKER, str(i), "2", str(port), *extra_args],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
         )
         for i in range(2)
@@ -107,3 +107,41 @@ def test_two_process_mgfn_train_and_eval():
         nfeat, jnp.zeros((gb,)), afeat, jnp.ones((gb,)),
     )
     assert outs[0]["loss"] == pytest.approx(float(loss), rel=0.25)
+
+
+@pytest.mark.slow
+def test_two_process_extraction_shards_are_disjoint_and_complete(tmp_path):
+    """Per-host extraction: each rank extracts its process_shard file split on its
+    LOCAL device (hosts independent — the DALI shard_id/num_shards pattern,
+    dali_extraction.py:63-64). The union must cover every video exactly once, and
+    each rank's features must match a single-process extraction of the same URIs."""
+    out = str(tmp_path / "feats")
+    results = _launch_ranks(_free_port(), "extract", out)
+    if any(rc != 0 for rc, _, _ in results):
+        results = _launch_ranks(_free_port(), "extract", out)
+    outs = []
+    for rc, o, e in results:
+        assert rc == 0, f"worker failed:\nstdout:\n{o}\nstderr:\n{e}"
+        outs.append(json.loads(o.strip().splitlines()[-1]))
+
+    uris = [f"synthetic://n=48,h=40,w=80,seed={1000 * i}" for i in range(4)]
+    saved0, saved1 = set(outs[0]["saved"]), set(outs[1]["saved"])
+    assert saved0.isdisjoint(saved1)
+    assert saved0 | saved1 == set(uris)
+    assert outs[0]["clips"] > 0 and outs[1]["clips"] > 0
+
+    # Features match a single-process run bit-for-bit (same program, same device
+    # semantics — sharding only splits the file list).
+    from ted_spad_tpu.config.params import FeatureExtractionParams
+    from ted_spad_tpu.stages.feature_extraction import extract_features
+
+    p = FeatureExtractionParams(
+        num_frames=8, reso_h=48, reso_w=64, compute_dtype="float32", anonymized=False
+    )
+    ref = extract_features(p, uris, str(tmp_path / "ref"), decode_hw=(40, 80),
+                           batch_size=4, log_fn=lambda s: None)
+    for uri in uris:
+        a = np.load(ref["saved"][uri])
+        name = os.path.basename(ref["saved"][uri])
+        b = np.load(os.path.join(out, name))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-5)
