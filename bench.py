@@ -37,6 +37,9 @@ train_reconstruction.py:26-59; anomaly_detection_mgfn/train.py:79-108) at refere
 shapes (16 frames, 224², bf16; MGFN B=16+16 ncrops=10 f32). Remat follows the production default ``remat='auto'`` — resolved OFF
 at this B=4 scale (detail.adversarial_remat records the resolved value) — so the
 metric tracks what the driver actually runs, not a fixed remat configuration.
+``detail.adversarial_fa_step_b8_remat_{on,blocks}_ms`` additionally times the fa
+step at the full reference batch (8 videos + 12 VISPR pairs, where remat is
+mandatory) under full vs block-boundary rematerialization, time-budget permitting.
 
 ``detail.mfu``: analytic-FLOP model-flops-utilization of the fused extraction
 program (XLA cost analysis over the compiled HLO / assumed peak for the device
@@ -103,6 +106,7 @@ def device_ms_per_call(fn, args, iters: int) -> float:
 
 
 def main() -> None:
+    t_start = time.perf_counter()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", ".jax_tpu_cache")
@@ -149,6 +153,7 @@ def main() -> None:
 
     ms_ref = device_ms_per_call(ref_style, (one_clip,), iters=4)
     ref_rate = 1.0 / (ms_ref / 1e3)
+    del fa32_vars, ft32_vars, ref_style  # free the f32 copies' HBM before training steps
 
     # --- MFU of the fused extraction program (VERDICT r3 #8) ----------------------
     detail_top: dict = {}
@@ -227,6 +232,44 @@ def main() -> None:
         detail_top["adversarial_remat"] = resolved if isinstance(resolved, str) else bool(resolved)
     except Exception as e:  # noqa: BLE001
         detail_top["adversarial_step_error"] = repr(e)
+
+    # --- B=8 fa-step remat comparison (ROADMAP hw checklist #1) -------------------
+    # At the reference batch (8 videos + 12 VISPR pairs) the fa backward must
+    # rematerialize ('off' OOMs a 16 GB v5e); 'blocks' keeps the fused UNet++
+    # boundaries resident vs 'on' (full remat). Recorded in BENCH detail so the
+    # driver's round-end run answers the pending measurement even when no
+    # interactive session sees the chip; whichever mode wins should become
+    # _resolve_remat's over-threshold branch. Time-guarded: skipped when the
+    # sections above already consumed half the watchdog budget.
+    _budget_s = int(os.environ.get("BENCH_TIMEOUT_S", "3000"))
+    if time.perf_counter() - t_start < 0.5 * _budget_s:
+        try:
+            bt8, vb8 = 8, 12  # params_anonymization.py batch sizes
+            clips8 = jax.random.uniform(
+                jax.random.PRNGKey(2), (bt8, 3, 16, 224, 224, 3), jnp.bfloat16
+            )
+            va8 = jax.random.uniform(jax.random.PRNGKey(3), (vb8, 224, 224, 3), jnp.bfloat16)
+            vb8b = jax.random.uniform(jax.random.PRNGKey(4), (vb8, 224, 224, 3), jnp.bfloat16)
+            labels8 = jnp.zeros((bt8,), jnp.int32)
+            for mode in ("on", "blocks"):
+                ap8 = AnonymizationParams(
+                    num_frames=16, reso_h=224, reso_w=224, remat=mode
+                )
+                fa_step8 = make_fa_step(fa_model, fb_model, ft_model, opt_fa, ap8)
+
+                def fa8_once(v1, v2, c, lab, _step=fa_step8):
+                    new_fa, _, lfa, *_ = _step(
+                        fa_vars, st_fa, fb_vars, ft_vars, key, v1, v2, c, lab
+                    )
+                    return tree_sum(new_fa["params"]) + lfa
+
+                detail_top[f"adversarial_fa_step_b8_remat_{mode}_ms"] = round(
+                    device_ms_per_call(fa8_once, (va8, vb8b, clips8, labels8), iters=2), 1
+                )
+        except Exception as e:  # noqa: BLE001 — OOM on small-HBM parts is informative
+            detail_top["remat_b8_error"] = repr(e)
+    else:
+        detail_top["remat_b8_skipped"] = "time budget consumed by earlier sections"
 
     try:
         from ted_spad_tpu.config.params import ActionParams
