@@ -1,0 +1,83 @@
+"""Single-video serving path: scripts/score_video.py composes decode -> ft features ->
+MGFN into frame-level anomaly scores (the reference has no such one-command path —
+scoring requires dali_extraction.py + hand-edited .list + test.py:13-51)."""
+
+import importlib.util
+import json
+import os
+import types
+
+import numpy as np
+
+
+def _load_module():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "score_video_mod", os.path.join(root, "scripts", "score_video.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_spans_above():
+    mod = _load_module()
+    s = np.array([0.1, 0.9, 0.8, 0.2, 0.7, 0.7], np.float32)
+    assert mod.spans_above(s, 0.5) == [[1, 3], [4, 6]]
+    assert mod.spans_above(np.full(4, 0.9, np.float32), 0.5) == [[0, 4]]
+    assert mod.spans_above(np.zeros(4, np.float32), 0.5) == []
+    out = json.dumps(mod.spans_above(s, 0.5))  # numpy ints would raise here
+    assert out == "[[1, 3], [4, 6]]"
+
+
+def test_score_video_synthetic_end_to_end(tmp_path):
+    """Drive run() on synthetic videos with a real (perturbed, saved, reloaded) MGFN
+    checkpoint; assert the frame scores equal direct scoring of the extracted features
+    with the same variables (ckpt round-trip + expansion rule both exercised)."""
+    from ted_spad_tpu.config.params import MGFNParams
+    from ted_spad_tpu.data.features import padded_test_batch
+    from ted_spad_tpu.models import load_mgfn_model
+    from ted_spad_tpu.ops.temporal import test_features
+    from ted_spad_tpu.stages.anomaly_detection import make_score_fn
+    from ted_spad_tpu.utils.checkpoint import save_checkpoint
+    import jax
+
+    mod = _load_module()
+
+    # Must match run()'s synthetic MGFN preset so the checkpoint's shapes line up.
+    mp = MGFNParams.for_dataset("UCF").replace(dims=(16, 32, 64), depths=(1, 1, 1), dim_head=16)
+    _, variables = load_mgfn_model(mp, ncrops=1)
+    # Perturb so a silently-ignored checkpoint (fresh same-seed init) would fail parity.
+    variables = jax.tree_util.tree_map(lambda x: x * 1.5 + 0.01, variables)
+    ckpt = str(tmp_path / "mgfn_test.ckpt")
+    save_checkpoint(ckpt, {"mgfn_model_state_dict": variables})
+
+    args = types.SimpleNamespace(
+        synthetic=True, videos_glob=None, out_dir=str(tmp_path / "out"), mgfn_ckpt=ckpt,
+        saved_model_fa=None, saved_model_ft=None, raw=True, datasetname="UCF",
+        threshold=0.5, batch=4, num_workers=2, decode_mode="rgb", decode_hw=None,
+        params=None, run_id=None, epochs=None, save_dir=str(tmp_path), seed=0,
+        cpu=True, devices=0, mesh=False,
+    )
+    summaries = mod.run(args)
+
+    assert len(summaries) == 2 and all("error" not in s for s in summaries)
+    model, _ = load_mgfn_model(mp, ncrops=1)
+    score_fn = make_score_fn(model)
+    for s in summaries:
+        frames = np.load(s["scores"])
+        assert len(frames) == s["clips"] * mp.frames_per_clip == s["frames"]
+        assert np.all((frames >= 0) & (frames <= 1))
+        # Expansion rule: each clip score repeated frames_per_clip times.
+        assert np.array_equal(frames, np.repeat(frames[:: mp.frames_per_clip], mp.frames_per_clip))
+        # Parity vs direct scoring of the extracted features with the saved variables.
+        feat_path = os.path.join(args.out_dir, "features",
+                                 os.path.basename(s["scores"]))
+        video, mask, t = padded_test_batch(test_features(np.load(feat_path)))
+        direct = np.asarray(score_fn(variables, video, mask))[0, :t]
+        np.testing.assert_allclose(frames[:: mp.frames_per_clip], direct, rtol=1e-5, atol=1e-6)
+        for lo, hi in s["spans_above_threshold"]:
+            assert 0 <= lo < hi <= len(frames)
+
+    on_disk = json.load(open(os.path.join(args.out_dir, "summary.json")))
+    assert on_disk["threshold"] == 0.5 and len(on_disk["videos"]) == 2

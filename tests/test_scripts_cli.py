@@ -19,6 +19,7 @@ SCRIPTS = [
     "run_pipeline.py",
     "run_parity.py",
     "convert_weights.py",
+    "score_video.py",
 ]
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
