@@ -89,13 +89,19 @@ def iter_clip_batches(
 
     clip_counts: dict[int, int] = {}
 
+    # One decoder per pool worker is the parallelism when there are many videos —
+    # libavcodec frame-threading on top would oversubscribe many-core hosts. With
+    # FEWER videos than workers (the serving case: scripts/score_video.py on one
+    # long video), the idle worker budget is reassigned as frame threads instead,
+    # so a lone video decodes with the full core budget rather than one core.
+    # Threading never changes decoded pixels (test_video_reader.TestDecodeOpts).
+    decoder_threads = max(1, num_workers // max(len(video_uris), 1))
+
     def decode_video(vi: int):
         uri = video_uris[vi]
-        # threads=1: this pool is the parallelism (one decoder per worker); libavcodec
-        # auto frame-threading on top would oversubscribe many-core hosts.
         vr = open_video(
             uri, decode_hw[1], decode_hw[0],
-            threads=1, fast=getattr(p, "decode_fast", False),
+            threads=decoder_threads, fast=getattr(p, "decode_fast", False),
         )
         starts = video_clip_starts(len(vr), p.num_frames, p.clip_stride, p.clip_step)
         if decode_mode == "yuv":

@@ -318,3 +318,30 @@ def test_dedup_names_disambiguates_same_basename():
     assert len(set(names.values())) == 3
     assert names["c/other.mp4"] == "other"
     assert all(n.startswith("video_") for u, n in names.items() if "video" in u)
+
+
+def test_few_videos_use_frame_threaded_decode_identically(tmp_path):
+    """With fewer videos than workers the idle worker budget becomes libavcodec frame
+    threads (the serving case — scripts/score_video.py on one long video); the decoded
+    clip stream must be bit-identical to the one-thread-per-decoder path."""
+    from ted_spad_tpu.data.video_reader import native_available, write_mp4
+
+    if not native_available():
+        pytest.skip("native videodec unavailable")
+    rng = np.random.default_rng(5)
+    uri = str(tmp_path / "one.mp4")
+    write_mp4(uri, rng.integers(0, 255, (48, 48, 64, 3), dtype=np.uint8))
+    p = FeatureExtractionParams(num_frames=8, fix_skip=2, batch_size=4)
+
+    def clips_with(workers):  # 1 video: num_workers=4 -> threads=4, =1 -> threads=1
+        out = {}
+        for clips, refs, _ in iter_clip_batches([uri], p, 4, decode_hw=(48, 64),
+                                                num_workers=workers):
+            for row, ref in enumerate(refs):
+                out[(ref.video_idx, ref.clip_idx)] = np.asarray(clips)[row]
+        return out
+
+    threaded, single = clips_with(4), clips_with(1)
+    assert threaded.keys() == single.keys() and len(threaded) > 1
+    for k in threaded:
+        np.testing.assert_array_equal(threaded[k], single[k])
