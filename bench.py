@@ -242,7 +242,12 @@ def main() -> None:
     # _resolve_remat's over-threshold branch. Time-guarded: skipped when the
     # sections above already consumed half the watchdog budget.
     _budget_s = int(os.environ.get("BENCH_TIMEOUT_S", "3000"))
-    if time.perf_counter() - t_start < 0.5 * _budget_s:
+
+    def _b8_budget_ok(frac: float) -> bool:
+        # <= 0 means the watchdog is disabled (unlimited time) — always proceed.
+        return _budget_s <= 0 or time.perf_counter() - t_start < frac * _budget_s
+
+    if _b8_budget_ok(0.5):
         try:
             bt8, vb8 = 8, 12  # params_anonymization.py batch sizes
             clips8 = jax.random.uniform(
@@ -252,6 +257,13 @@ def main() -> None:
             vb8b = jax.random.uniform(jax.random.PRNGKey(4), (vb8, 224, 224, 3), jnp.bfloat16)
             labels8 = jnp.zeros((bt8,), jnp.int32)
             for mode in ("on", "blocks"):
+                # Re-check between modes: each mode compiles two loop programs over
+                # the full adversarial step — an overrun here would let the watchdog
+                # kill the bench and replace every already-measured result with the
+                # value-0 failure record.
+                if not _b8_budget_ok(0.7):
+                    detail_top["remat_b8_skipped"] = f"time budget before remat={mode}"
+                    break
                 ap8 = AnonymizationParams(
                     num_frames=16, reso_h=224, reso_w=224, remat=mode
                 )

@@ -33,6 +33,65 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     return ap
 
 
+def add_extraction_args(ap: argparse.ArgumentParser) -> None:
+    """Flags shared by the extraction-driven entry points (extract_features.py and
+    score_video.py) — one definition so the two CLIs cannot drift."""
+    ap.add_argument("--videos_glob", type=str, default=None)
+    ap.add_argument("--saved_model_fa", type=str, default=None)
+    ap.add_argument("--saved_model_ft", type=str, default=None)
+    ap.add_argument("--raw", action="store_true", help="skip anonymization (raw features)")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--decode_mode", type=str, default="rgb", choices=["rgb", "yuv"],
+                    help="'yuv': planar ingest — half the host->device bytes, "
+                         "chroma upsample + BT.601 fused into the device preprocess "
+                         "(reads at native resolution; set --decode_hw to match)")
+    ap.add_argument("--decode_hw", type=int, nargs=2, default=None, metavar=("H", "W"),
+                    help="decode resolution (default 240 320); in yuv mode must equal "
+                         "the videos' native resolution")
+    ap.add_argument("--decode_fast", action="store_true",
+                    help="skip the h264 in-loop deblocking filter during decode "
+                         "(~8%% faster software decode; NOT bit-exact with reference "
+                         "decode — sub-pixel frame differences before the 224^2 resize)")
+    ap.add_argument("--num_workers", type=int, default=8,
+                    help="host decode threads — the throughput knob when extraction is "
+                         "decode-bound (~1 host core per software-decode thread; size to "
+                         "the host's core budget)")
+
+
+def resolve_extraction_inputs(args, p, *, n_synthetic: int = 4):
+    """Apply the shared CLI overrides to FeatureExtractionParams and resolve the input
+    list: returns ``(p, uris, decode_hw)``.
+
+    Synthetic mode shrinks to tiny shapes and procedural ``synthetic://`` URIs
+    (40x80 @ crop 0.8 -> (32, 64) at even offsets: valid for both decode modes —
+    yuv needs a chroma-aligned crop window). A ``--videos_glob`` that matches zero
+    files is a hard error: a silently-empty run is indistinguishable from success
+    in automation."""
+    overrides = {"anonymized": not args.raw}
+    if getattr(args, "decode_fast", False):
+        # Flag only turns it on (a params-file decode_fast=True stays).
+        overrides["decode_fast"] = True
+    if args.saved_model_fa:  # CLI only overrides when given (params files win otherwise)
+        overrides["saved_model_fa"] = args.saved_model_fa
+    if args.saved_model_ft:
+        overrides["saved_model_ft"] = args.saved_model_ft
+    p = p.replace(**overrides)
+    if args.synthetic:
+        p = p.replace(num_frames=8, reso_h=32, reso_w=32, compute_dtype="float32")
+        uris = [f"synthetic://n=120,h=40,w=80,seed={i}" for i in range(n_synthetic)]
+        decode_hw = (40, 80)
+    else:
+        import glob
+
+        if not args.videos_glob:
+            raise SystemExit("pass --videos_glob or --synthetic")
+        uris = sorted(glob.glob(args.videos_glob))
+        if not uris:
+            raise SystemExit(f"--videos_glob {args.videos_glob!r} matched no files")
+        decode_hw = tuple(args.decode_hw) if args.decode_hw else (240, 320)
+    return p, uris, decode_hw
+
+
 def maybe_mesh(args):
     """Build the 1-D data-parallel mesh when --mesh is set (after setup_platform)."""
     if not getattr(args, "mesh", False):

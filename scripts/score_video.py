@@ -11,22 +11,33 @@ composes the same trained artifacts into one serving-style command:
         --saved_model_ft saved_models/ft_best.ckpt --out_dir scores
 
 Per video it writes ``<out_dir>/scores/<name>.npy`` — frame-level anomaly scores in
-[0, 1] (per-clip MGFN scores expanded by ``frames_per_clip``, exactly the reference's
-repeat rule, test.py:32-43) — and prints one JSON line with the score summary and any
-``--threshold`` exceedance spans. Intermediate 2048-d clip features land in
-``<out_dir>/features`` (same artifacts as scripts/extract_features.py; re-runs reuse
-them via resume-by-skip).
+[0, 1] on the video's REAL frame timeline: per-clip MGFN scores expand by the
+extraction windowing (``clip_step`` real frames per clip) with the reference's
+length-ratio redistribution to the actual decoded frame count (test.py:32-43) —
+and prints one JSON line with the score summary and any ``--threshold`` exceedance
+spans. Intermediate clip features land in ``<out_dir>/features/<confighash>/`` —
+keyed on the extraction config (fa/ft ckpts, --raw, decode flags) so re-runs with
+different flags can never silently reuse stale features, while same-config re-runs
+still get resume-by-skip.
 
 Synthetic smoke: ``python scripts/score_video.py --synthetic --cpu``.
 """
 
+import hashlib
 import json
 import os as _os
 import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
-from scripts._common import base_parser, finalize_params, maybe_mesh, setup_platform
+from scripts._common import (
+    add_extraction_args,
+    base_parser,
+    finalize_params,
+    maybe_mesh,
+    resolve_extraction_inputs,
+    setup_platform,
+)
 
 
 def spans_above(frame_scores, threshold: float) -> list[tuple[int, int]]:
@@ -34,6 +45,8 @@ def spans_above(frame_scores, threshold: float) -> list[tuple[int, int]]:
     import numpy as np
 
     above = np.asarray(frame_scores) > threshold
+    if above.size == 0:
+        return []
     edges = np.flatnonzero(np.diff(above.astype(np.int8)))
     starts = list(edges[~above[edges]] + 1)
     ends = list(edges[above[edges]] + 1)
@@ -58,31 +71,25 @@ def run(args) -> list[dict]:
     from ted_spad_tpu.stages.feature_extraction import extract_features
 
     p = finalize_params(FeatureExtractionParams(), args)
-    overrides = {"anonymized": not args.raw}
-    if args.saved_model_fa:
-        overrides["saved_model_fa"] = args.saved_model_fa
-    if args.saved_model_ft:
-        overrides["saved_model_ft"] = args.saved_model_ft
-    p = p.replace(**overrides)
+    p, uris, decode_hw = resolve_extraction_inputs(args, p, n_synthetic=2)
 
     mp = MGFNParams.for_dataset(args.datasetname)
     if args.synthetic:
-        p = p.replace(num_frames=8, reso_h=32, reso_w=32, compute_dtype="float32")
-        uris = [f"synthetic://n=120,h=40,w=80,seed={i}" for i in range(2)]
-        decode_hw = (40, 80)
         # ft still emits 2048-d features at tiny spatial size; shrink only MGFN's
         # internal dims so random-init scoring stays CPU-cheap.
         mp = mp.replace(dims=(16, 32, 64), depths=(1, 1, 1), dim_head=16)
-    else:
-        import glob as _glob
 
-        assert args.videos_glob, "pass --videos_glob or --synthetic"
-        uris = sorted(_glob.glob(args.videos_glob))
-        decode_hw = tuple(args.decode_hw) if args.decode_hw else (240, 320)
-
-    feat_dir = _os.path.join(args.out_dir, "features")
+    # Feature cache keyed on the full extraction config: a re-run with different
+    # flags (e.g. --raw dropped, another fa checkpoint, other decode settings) must
+    # re-extract, never resume-by-skip onto stale features from the old config.
+    cfg = f"{p!r}|{args.decode_mode}|{decode_hw}"
+    feat_dir = _os.path.join(args.out_dir, "features",
+                             hashlib.sha1(cfg.encode()).hexdigest()[:12])
     score_dir = _os.path.join(args.out_dir, "scores")
+    _os.makedirs(feat_dir, exist_ok=True)
     _os.makedirs(score_dir, exist_ok=True)
+    with open(_os.path.join(feat_dir, "_extract_config.txt"), "w") as f:
+        f.write(cfg + "\n")
     res = extract_features(
         p, uris, feat_dir, batch_size=args.batch, decode_hw=decode_hw,
         mesh=maybe_mesh(args), decode_mode=args.decode_mode,
@@ -93,16 +100,39 @@ def run(args) -> list[dict]:
     model, variables = load_mgfn_model(mp, saved_model_file=args.mgfn_ckpt, ncrops=1)
     score_fn = make_score_fn(model)
     summaries = []
+    checked_dim = False
     for uri in uris:
         if uri not in feat_paths:
             summaries.append({"video": uri, "error": res["skipped"].get(uri, "no features")})
             print(json.dumps(summaries[-1]))
             continue
-        feats = test_features(np.load(feat_paths[uri]))  # (T, 1, 2049) with magnitude
+        raw_feats = np.load(feat_paths[uri])  # (T, F)
+        if not checked_dim:
+            if raw_feats.shape[-1] != mp.feature_size:
+                raise SystemExit(
+                    f"extracted features are {raw_feats.shape[-1]}-d but the "
+                    f"--datasetname {args.datasetname} MGFN preset (and its checkpoint) "
+                    f"expects {mp.feature_size}-d — match the extractor to the "
+                    f"checkpoint (e.g. XD's 1024-d presets need an i3d ft: pass a "
+                    f"--params file with arch_ft='i3d')"
+                )
+            checked_dim = True
+        feats = test_features(raw_feats)  # (T, 1, F+1) with magnitude
         video, mask, t = padded_test_batch(feats)
         clip_scores = np.asarray(score_fn(variables, video, mask))[0, :t]
-        frames = frame_level_scores(clip_scores, t * mp.frames_per_clip,
-                                    frames_per_clip=mp.frames_per_clip)
+        # Expand to the REAL frame timeline: each clip window covers p.clip_step
+        # decoded frames; the reference's ratio redistribution absorbs the tail
+        # (a final partial window / palindromed short clip), so span indices line
+        # up with the actual video, not a 32-frames-per-clip assumption.
+        try:
+            from ted_spad_tpu.data.video_reader import open_video
+
+            vr = open_video(uri, decode_hw[1], decode_hw[0])
+            n_frames = len(vr)
+            vr.close()
+        except Exception:  # noqa: BLE001 — header re-read is best-effort
+            n_frames = t * p.clip_step
+        frames = frame_level_scores(clip_scores, n_frames, frames_per_clip=p.clip_step)
         out = _os.path.join(score_dir, _os.path.basename(feat_paths[uri]))
         np.save(out, frames)
         summaries.append({
@@ -122,22 +152,17 @@ def run(args) -> list[dict]:
 
 def main() -> None:
     ap = base_parser(__doc__)
-    ap.add_argument("--videos_glob", type=str, default=None)
+    add_extraction_args(ap)
     ap.add_argument("--out_dir", type=str, default="scores_out")
     ap.add_argument("--mgfn_ckpt", type=str, default=None,
                     help="trained MGFN checkpoint (mgfn_model_state_dict); "
                          "random init if omitted (smoke runs only)")
-    ap.add_argument("--saved_model_fa", type=str, default=None)
-    ap.add_argument("--saved_model_ft", type=str, default=None)
-    ap.add_argument("--raw", action="store_true", help="skip anonymization (raw features)")
     ap.add_argument("--datasetname", type=str, default="UCF", choices=["UCF", "ST", "XD"],
-                    help="MGFN preset the checkpoint was trained with (frames/clip etc.)")
+                    help="MGFN preset the checkpoint was trained with (model dims, "
+                         "feature size); the score timeline itself follows the "
+                         "extraction windowing")
     ap.add_argument("--threshold", type=float, default=0.5,
                     help="frame-score threshold for the reported anomaly spans")
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--num_workers", type=int, default=8)
-    ap.add_argument("--decode_mode", type=str, default="rgb", choices=["rgb", "yuv"])
-    ap.add_argument("--decode_hw", type=int, nargs=2, default=None, metavar=("H", "W"))
     args = ap.parse_args()
     setup_platform(args)
     run(args)
