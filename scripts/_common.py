@@ -56,6 +56,11 @@ def add_extraction_args(ap: argparse.ArgumentParser) -> None:
                     help="host decode threads — the throughput knob when extraction is "
                          "decode-bound (~1 host core per software-decode thread; size to "
                          "the host's core budget)")
+    ap.add_argument("--ncrops", type=int, default=None, choices=[1, 5, 10],
+                    help="TTA crop fan-out: 5 = corners + center, 10 = + hflips (the "
+                         "published MGFN feature layout; the reference only does center "
+                         "crop). Features become (num_clips, ncrops, 2048); ~ncrops x "
+                         "device compute")
 
 
 def resolve_extraction_inputs(args, p, *, n_synthetic: int = 4):
@@ -75,6 +80,8 @@ def resolve_extraction_inputs(args, p, *, n_synthetic: int = 4):
         overrides["saved_model_fa"] = args.saved_model_fa
     if args.saved_model_ft:
         overrides["saved_model_ft"] = args.saved_model_ft
+    if getattr(args, "ncrops", None):
+        overrides["ncrops"] = args.ncrops
     p = p.replace(**overrides)
     if args.synthetic:
         p = p.replace(num_frames=8, reso_h=32, reso_w=32, compute_dtype="float32")

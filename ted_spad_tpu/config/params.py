@@ -271,6 +271,11 @@ class FeatureExtractionParams(StageParams):
     # reference decode — frames differ at sub-pixel level before the 224² resize.
     # Opt-in for decode-bound extraction.
     decode_fast: bool = False
+    # TTA crop fan-out: 1 = center crop (the reference's only mode,
+    # dali_extraction.py:38-50); 5 = four corners + center; 10 = those five + hflips
+    # (the layout of the published MGFN feature releases). Features become
+    # (num_clips, ncrops, 2048) per video; ~ncrops x the device compute per clip.
+    ncrops: int = 1
     # DALI-equivalent windowing (dali_extraction.py:72-73): 16 frames, stride 2, step 32.
     @property
     def clip_stride(self) -> int:

@@ -327,6 +327,39 @@ def center_crop_resize(
     return img
 
 
+def multi_crop_resize(
+    frames: Array, cropping_factor: float, out_h: int, out_w: int, ncrops: int
+) -> Array:
+    """TTA crop fan-out for multi-crop feature extraction (torchvision five_crop /
+    ten_crop order: tl, tr, bl, br, center [+ the same five hflipped]): windows of
+    ``cropping_factor`` at the four corners and the center (center geometry identical
+    to :func:`center_crop_resize`), each resized to (out_h, out_w).
+
+    ``(..., T, H, W, C) -> (..., ncrops, T, out_h, out_w, C)`` — the crop axis is
+    inserted before time so per-clip features stack to the published MGFN datasets'
+    (T, ncrops, F) layout. ``ncrops`` in (5, 10). The reference cannot produce these
+    (dali_extraction.py:38-50 is center-crop only); the upstream MGFN feature releases
+    are 10-crop."""
+    if ncrops not in (5, 10):
+        raise ValueError(f"ncrops must be 5 or 10, got {ncrops}")
+    t, h, w, c = frames.shape[-4:]
+    img = frames.astype(jnp.float32)
+    if frames.dtype == jnp.uint8:  # float inputs are assumed already in [0, 1]
+        img = img / 255.0
+    ch, cw = int(h * cropping_factor), int(w * cropping_factor)
+    y0c, x0c = int(round((h - ch) / 2.0)), int(round((w - cw) / 2.0))
+    views = []
+    for y0, x0 in ((0, 0), (0, w - cw), (h - ch, 0), (h - ch, w - cw), (y0c, x0c)):
+        v = img[..., y0 : y0 + ch, x0 : x0 + cw, :]
+        views.append(
+            jax.image.resize(v, (*v.shape[:-3], out_h, out_w, c), method="linear", antialias=True)
+        )
+    out = jnp.stack(views, axis=-5)
+    if ncrops == 10:
+        out = jnp.concatenate([out, out[..., :, ::-1, :]], axis=-5)
+    return out
+
+
 def five_crop_corners(frames: Array, crop_h: int, crop_w: int) -> tuple[Array, Array]:
     """threeCrop TTA extra views: torchvision five_crop returns (tl, tr, bl, br, center),
     so the reference's crops [0] and [-2] (ucf101_dl.py:303-308) are top-left and

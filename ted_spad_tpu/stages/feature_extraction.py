@@ -34,7 +34,7 @@ import numpy as np
 from ted_spad_tpu.config.params import FeatureExtractionParams
 from ted_spad_tpu.data.video_reader import open_video
 from ted_spad_tpu.models import load_fa_model, load_ft_model
-from ted_spad_tpu.ops.augment import center_crop_resize
+from ted_spad_tpu.ops.augment import center_crop_resize, multi_crop_resize
 
 
 @dataclasses.dataclass
@@ -213,8 +213,17 @@ def make_extract_step(
         # Guarded here (not only in extract_features) so direct callers — bench.py,
         # tests — cannot silently get aspect-distorted output from the yuv branch.
         raise ValueError("yuv mode does not support no_ar_distortion; use rgb")
+    if p.ncrops not in (1, 5, 10):
+        raise ValueError(f"ncrops must be 1, 5 or 10, got {p.ncrops}")
+    if p.ncrops > 1 and (yuv or p.quirk_compat or p.no_ar_distortion):
+        raise ValueError(
+            "ncrops > 1 (multi-crop TTA) supports only the plain rgb path — "
+            "not yuv ingest, quirk_compat, or no_ar_distortion"
+        )
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    if p.ncrops > 1:
+        use_pallas = False  # crop fan-out runs the XLA preprocess path
 
     shardings = {}
     if mesh is not None:
@@ -266,10 +275,24 @@ def make_extract_step(
                 cropping_factor=p.cropping_factor,
                 out_dtype=jnp.dtype(p.compute_dtype),
             ).astype(jnp.float32)
+        elif p.ncrops > 1:
+            # TTA fan-out: (B, T, H, W, 3) -> (B, ncrops, T, reso, reso, 3); the crop
+            # axis rides as a leading dim through fa and is folded into batch for ft.
+            img = multi_crop_resize(
+                clips_u8, p.cropping_factor, p.reso_h, p.reso_w, p.ncrops
+            ).astype(jnp.float32)
         else:
             img = clips_u8.astype(jnp.float32) / 255.0
             img = center_crop_resize(img, p.cropping_factor, p.reso_h, p.reso_w,
                                      no_ar_distortion=p.no_ar_distortion)
+
+        def run_ft(x, **kw):
+            # Flatten any TTA crop axis into ft's batch, then restore it on the
+            # features: (..., T, h, w, c) -> (prod(lead), T, h, w, c) -> (..., 2048).
+            lead_ft = x.shape[:-4]
+            feats = ft_extract(ft_vars, x.reshape((-1,) + x.shape[-4:]), train=False, **kw)
+            return feats.reshape(lead_ft + feats.shape[1:])
+
         if fa is not None:
             lead = img.shape[:-3]
             frames = img.reshape((-1,) + img.shape[-3:])
@@ -296,8 +319,8 @@ def make_extract_step(
             else:
                 img = anon.reshape(lead + anon.shape[-3:])
             if bridged:
-                return ft_extract(ft_vars, img, train=False, input_s2d=True)
-        return ft_extract(ft_vars, img, train=False)
+                return run_ft(img, input_s2d=True)
+        return run_ft(img)
 
     fa_apply, fa_vars_c = None, None
     if fa is not None:

@@ -345,3 +345,58 @@ def test_few_videos_use_frame_threaded_decode_identically(tmp_path):
     assert threaded.keys() == single.keys() and len(threaded) > 1
     for k in threaded:
         np.testing.assert_array_equal(threaded[k], single[k])
+
+
+class TestMultiCropExtraction:
+    """ncrops TTA fan-out (the published MGFN feature releases are 10-crop; the
+    reference's extraction is center-crop-only, dali_extraction.py:38-50)."""
+
+    def test_multi_crop_views_geometry(self):
+        from ted_spad_tpu.ops.augment import center_crop_resize, multi_crop_resize
+        import jax
+
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (2, 3, 40, 80, 3), dtype=np.uint8)
+        out = np.asarray(multi_crop_resize(frames, 0.8, 24, 24, 10))
+        assert out.shape == (2, 10, 3, 24, 24, 3)
+        # View 4 (center) is exactly the single-crop validation transform.
+        center = np.asarray(center_crop_resize(frames, 0.8, 24, 24))
+        np.testing.assert_allclose(out[:, 4], center, rtol=1e-6, atol=1e-6)
+        # Views 5-9 are the hflips of views 0-4.
+        np.testing.assert_allclose(out[:, 5:], out[:, :5, :, :, ::-1, :], rtol=0, atol=0)
+        # View 0 is the top-left window resized with the same resize as the center.
+        ch, cw = int(40 * 0.8), int(80 * 0.8)
+        tl = jax.image.resize(
+            frames[:, :, :ch, :cw, :].astype(np.float32) / 255.0,
+            (2, 3, 24, 24, 3), method="linear", antialias=True,
+        )
+        np.testing.assert_allclose(out[:, 0], np.asarray(tl), rtol=1e-6, atol=1e-6)
+
+    def test_extraction_ncrops10_features_and_center_parity(self, tmp_path):
+        from ted_spad_tpu.stages.feature_extraction import extract_features
+
+        uris = [f"synthetic://n=40,h=40,w=80,seed={i}" for i in range(2)]
+        base = FeatureExtractionParams(num_frames=8, fix_skip=2, batch_size=4, reso_h=32,
+                                       reso_w=32, anonymized=False, compute_dtype="float32")
+        r1 = extract_features(base, uris, str(tmp_path / "f1"), decode_hw=(40, 80),
+                              log_fn=lambda s: None)
+        r10 = extract_features(base.replace(ncrops=10), uris, str(tmp_path / "f10"),
+                               decode_hw=(40, 80), log_fn=lambda s: None)
+        for uri in uris:
+            f1 = np.load(r1["saved"][uri])    # (T, 2048)
+            f10 = np.load(r10["saved"][uri])  # (T, 10, 2048)
+            assert f10.shape == (f1.shape[0], 10, f1.shape[1])
+            # The center view reproduces the single-crop features (same window, same
+            # resize, same ft) — crop fan-out must not perturb the baseline path.
+            np.testing.assert_allclose(f10[:, 4], f1, rtol=2e-4, atol=2e-4)
+            # Corner views see different pixels -> genuinely different features.
+            assert np.abs(f10[:, 0] - f1).max() > 1e-3
+
+    def test_ncrops_rejects_incompatible_modes(self):
+        from ted_spad_tpu.stages.feature_extraction import make_extract_step
+
+        p = FeatureExtractionParams(ncrops=10, quirk_compat=True)
+        with pytest.raises(ValueError, match="ncrops"):
+            make_extract_step(object(), p)
+        with pytest.raises(ValueError, match="ncrops"):
+            make_extract_step(object(), FeatureExtractionParams(ncrops=3))
