@@ -392,6 +392,41 @@ class TestMultiCropExtraction:
             # Corner views see different pixels -> genuinely different features.
             assert np.abs(f10[:, 0] - f1).max() > 1e-3
 
+        # The MGFN stage consumes the (T, ncrops, F) layout natively (the published
+        # feature releases' shape): one train step + masked-bucket scoring over the
+        # self-extracted 10-crop features.
+        import jax
+        import jax.numpy as jnp
+
+        from ted_spad_tpu.config.params import MGFNParams
+        from ted_spad_tpu.data.features import padded_test_batch
+        from ted_spad_tpu.models import load_mgfn_model
+        from ted_spad_tpu.ops.temporal import segment_train_features, test_features
+        from ted_spad_tpu.stages.anomaly_detection import (
+            make_optimizer,
+            make_score_fn,
+            make_train_step,
+        )
+
+        mp = MGFNParams(dims=(16, 32, 64), depths=(1, 1, 1), dim_head=16)
+        model, variables = load_mgfn_model(mp, ncrops=10)
+        opt = make_optimizer(mp)
+        st = opt.init(variables["params"])
+        step = make_train_step(model, opt, mp)
+        seg = np.stack([segment_train_features(np.load(r10["saved"][u])) for u in uris])
+        assert seg.shape == (2, 10, mp.seg_length, mp.feature_size + 1)
+        variables, st, loss = step(
+            variables, st, jax.random.PRNGKey(0),
+            jnp.asarray(seg[:1]), jnp.zeros((1,), jnp.float32),
+            jnp.asarray(seg[1:]), jnp.ones((1,), jnp.float32),
+        )
+        assert np.isfinite(float(loss))
+        video, mask, _ = padded_test_batch(test_features(np.load(r10["saved"][uris[0]])))
+        scores = np.asarray(
+            make_score_fn(model)(variables, jnp.asarray(video), jnp.asarray(mask))
+        )
+        assert scores.shape == (1, video.shape[2]) and np.isfinite(scores).all()
+
     def test_ncrops_rejects_incompatible_modes(self):
         from ted_spad_tpu.stages.feature_extraction import make_extract_step
 
