@@ -356,7 +356,13 @@ def multi_crop_resize(
         )
     out = jnp.stack(views, axis=-5)
     if ncrops == 10:
-        out = jnp.concatenate([out, out[..., :, ::-1, :]], axis=-5)
+        # torchvision ten_crop order: five_crop(img) + five_crop(hflip(img)).
+        # Cropping the FLIPPED image at (tl, tr, bl, br, center) equals mirroring
+        # the (tr, tl, br, bl, center) views of the original — the symmetric resize
+        # kernel commutes with the mirror — so reorder before flipping; a plain
+        # per-view flip would swap crop indices 5<->6 and 7<->8 vs torchvision.
+        flipped = jnp.take(out, jnp.asarray([1, 0, 3, 2, 4]), axis=-5)[..., :, ::-1, :]
+        out = jnp.concatenate([out, flipped], axis=-5)
     return out
 
 

@@ -144,53 +144,57 @@ def iter_clip_batches(
     # thread pool's role, host-side.
     pool = ThreadPoolExecutor(num_workers)
     window = max(2 * num_workers, 4)
-    next_submit = 0
+    state = {"next": 0}
     futures = set()
     vi_of: dict[Any, int] = {}
-    while next_submit < len(video_uris) and len(futures) < window:
-        f = pool.submit(decode_video, next_submit)
-        vi_of[f] = next_submit
-        futures.add(f)
-        next_submit += 1
+
+    def submit_next() -> None:
+        if state["next"] < len(video_uris):
+            f = pool.submit(decode_video, state["next"])
+            vi_of[f] = state["next"]
+            futures.add(f)
+            state["next"] += 1
+
+    for _ in range(min(window, len(video_uris))):
+        submit_next()
 
     buf_clips: list[Any] = []
     buf_refs: list[ClipRef] = []
-    while futures:
-        done, futures = wait(futures, return_when=FIRST_COMPLETED)
-        for fut in done:
-            # Pop immediately: retaining the future would pin its result tuple (every
-            # decoded clip of the video) in host RAM for the rest of the run.
-            fut_vi = vi_of.pop(fut, -1)
-            try:
-                vi, clips = fut.result()
-            except Exception as e:  # noqa: BLE001 — per-video tolerance, see docstring
-                if on_error is None:
-                    pool.shutdown(wait=False, cancel_futures=True)
-                    raise
-                on_error(fut_vi, repr(e))
-                if next_submit < len(video_uris):
-                    f = pool.submit(decode_video, next_submit)
-                    vi_of[f] = next_submit
-                    futures.add(f)
-                    next_submit += 1
-                continue
-            clip_counts[vi] = len(clips)
-            for ref, clip in clips:
-                buf_refs.append(ref)
-                buf_clips.append(clip)
-                if len(buf_clips) == batch_size:
-                    yield np.stack(buf_clips), list(buf_refs), dict(clip_counts)
-                    buf_clips, buf_refs = [], []
-            if next_submit < len(video_uris):
-                f = pool.submit(decode_video, next_submit)
-                vi_of[f] = next_submit
-                futures.add(f)
-                next_submit += 1
-    if buf_clips:
-        refs = list(buf_refs)
-        while len(buf_clips) < batch_size:
-            buf_clips.append(buf_clips[-1])
-        yield np.stack(buf_clips), refs, dict(clip_counts)
+    try:
+        while futures:
+            done, futures = wait(futures, return_when=FIRST_COMPLETED)
+            for fut in done:
+                # Pop immediately: retaining the future would pin its result tuple
+                # (every decoded clip of the video) in host RAM for the rest of the run.
+                fut_vi = vi_of.pop(fut, -1)
+                try:
+                    vi, clips = fut.result()
+                except Exception as e:  # noqa: BLE001 — per-video tolerance, see docstring
+                    if on_error is None:
+                        raise
+                    on_error(fut_vi, repr(e))
+                    submit_next()
+                    continue
+                clip_counts[vi] = len(clips)
+                for ref, clip in clips:
+                    buf_refs.append(ref)
+                    buf_clips.append(clip)
+                    if len(buf_clips) == batch_size:
+                        yield np.stack(buf_clips), list(buf_refs), dict(clip_counts)
+                        buf_clips, buf_refs = [], []
+                submit_next()
+        if buf_clips:
+            refs = list(buf_refs)
+            while len(buf_clips) < batch_size:
+                buf_clips.append(buf_clips[-1])
+            yield np.stack(buf_clips), refs, dict(clip_counts)
+    finally:
+        # Runs on normal exhaustion, on a decode error, AND on GeneratorExit when
+        # the consumer abandons the generator mid-run (e.g. its loop body raised):
+        # without this, up to ``window`` queued decodes keep running on non-daemon
+        # threads that concurrent.futures joins at process exit — minutes of
+        # pointless decode after the real error.
+        pool.shutdown(wait=False, cancel_futures=True)
 
 
 def make_extract_step(
@@ -221,7 +225,9 @@ def make_extract_step(
             "not yuv ingest, quirk_compat, or no_ar_distortion"
         )
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        # Mosaic kernel lowers on TPU only ('axon' = tunneled TPU); GPU/CPU take the
+        # XLA path — `!= "cpu"` would crash GPU backends on the pltpu BlockSpecs.
+        use_pallas = jax.default_backend() in ("tpu", "axon")
     if p.ncrops > 1:
         use_pallas = False  # crop fan-out runs the XLA preprocess path
 
@@ -231,12 +237,19 @@ def make_extract_step(
 
         axis = mesh.axis_names[0]
         shardings = dict(
-            in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P(axis))),
+            in_shardings=(
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P(axis)),
+            ),
             out_shardings=NamedSharding(mesh, P(axis)),
         )
 
+    # fa variables are a jit ARGUMENT (not a closure capture): captured arrays would
+    # be baked into the jaxpr/executable as constants — slower traces, a duplicate
+    # copy of the whole fa checkpoint in device memory, and no sharding control.
     @functools.partial(jax.jit, **shardings)
-    def extract(ft_vars, clips_u8):
+    def extract(ft_vars, fa_vars_in, clips_u8):
         if yuv:
             from ted_spad_tpu.ops.yuv import fused_preprocess_yuv
 
@@ -306,7 +319,7 @@ def make_extract_step(
                 and p.reso_h % 16 == 0
                 and p.reso_w % 16 == 0
             )
-            anon = fa_apply(fa_vars_c, frames, train=False, emit_s2d=bridged)
+            anon = fa_apply(fa_vars_in, frames, train=False, emit_s2d=bridged)
             if p.quirk_compat:
                 # Reference extraction quirk (dali_extraction.py:168-173): fa ran on
                 # clean frames (as here), but the return reshape reinterprets the
@@ -335,7 +348,11 @@ def make_extract_step(
     # s2d fast stem for I3Res50 (the profiled extraction hotspot); module fallback
     # for other ft architectures.
     ft_extract = make_fast_ft_extract(ft_model)
-    return extract
+
+    # Public signature stays (ft_vars, clips_u8); the wrapper threads the fa
+    # variables through as a device argument ({} when extraction runs raw).
+    fa_arg = fa_vars_c if fa is not None else {}
+    return lambda ft_vars, clips_u8: extract(ft_vars, fa_arg, clips_u8)
 
 
 def extract_features(
@@ -415,6 +432,22 @@ def extract_features(
     t0 = time.time()
     inflight: list[tuple[Any, list[ClipRef]]] = []
 
+    def flush_ready() -> None:
+        """Write out every fully-accumulated video. ATOMIC: np.save goes to a temp
+        name and os.replace()s into place — resume-by-skip trusts bare existence of
+        out_path, so a run killed mid-write must never leave a truncated .npy that
+        all future runs silently skip as 'existing'."""
+        for vi in list(acc):
+            if vi in counts and len(acc[vi]) == counts[vi]:
+                feat = np.stack([acc[vi][c] for c in range(counts[vi])])
+                path = out_path(uris[vi])
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:  # file handle: np.save can't append a suffix
+                    np.save(f, feat)
+                os.replace(tmp, path)
+                saved[uris[vi]] = path
+                del acc[vi]
+
     def drain(entry):
         nonlocal n_clips
         feats, refs = entry
@@ -422,13 +455,7 @@ def extract_features(
         for row, ref in enumerate(refs):
             acc.setdefault(ref.video_idx, {})[ref.clip_idx] = feats[row]
             n_clips += 1
-        for vi in list(acc):
-            if vi in counts and len(acc[vi]) == counts[vi]:
-                feat = np.stack([acc[vi][c] for c in range(counts[vi])])
-                path = out_path(uris[vi])
-                np.save(path, feat)
-                saved[uris[vi]] = path
-                del acc[vi]
+        flush_ready()
 
     skipped: dict[str, str] = {}
 
@@ -450,14 +477,7 @@ def extract_features(
             drain(inflight.pop(0))
     while inflight:
         drain(inflight.pop(0))
-    # Flush any videos whose counts arrived after their clips.
-    for vi in list(acc):
-        if vi in counts and len(acc[vi]) == counts[vi]:
-            feat = np.stack([acc[vi][c] for c in range(counts[vi])])
-            path = out_path(uris[vi])
-            np.save(path, feat)
-            saved[uris[vi]] = path
-            del acc[vi]
+    flush_ready()  # defensive: every count arrives with (or before) its last clips
 
     elapsed = time.time() - t0
     log_fn(f"extracted {n_clips} clips from {len(saved)} videos in {elapsed:.1f}s "

@@ -362,8 +362,10 @@ class TestMultiCropExtraction:
         # View 4 (center) is exactly the single-crop validation transform.
         center = np.asarray(center_crop_resize(frames, 0.8, 24, 24))
         np.testing.assert_allclose(out[:, 4], center, rtol=1e-6, atol=1e-6)
-        # Views 5-9 are the hflips of views 0-4.
-        np.testing.assert_allclose(out[:, 5:], out[:, :5, :, :, ::-1, :], rtol=0, atol=0)
+        # torchvision ten_crop definition: the second five ARE five_crop(hflip(img))
+        # (not per-view flips of the first five, which would swap crops 5<->6, 7<->8).
+        from_flipped = np.asarray(multi_crop_resize(frames[..., ::-1, :], 0.8, 24, 24, 5))
+        np.testing.assert_allclose(out[:, 5:], from_flipped, rtol=1e-6, atol=1e-6)
         # View 0 is the top-left window resized with the same resize as the center.
         ch, cw = int(40 * 0.8), int(80 * 0.8)
         tl = jax.image.resize(
@@ -435,3 +437,24 @@ class TestMultiCropExtraction:
             make_extract_step(object(), p)
         with pytest.raises(ValueError, match="ncrops"):
             make_extract_step(object(), FeatureExtractionParams(ncrops=3))
+
+
+def test_iter_clip_batches_abandonment_shuts_down_pool():
+    """A consumer that abandons the generator mid-run (its loop body raised) must not
+    leave the decode pool running: close() triggers the finally-shutdown, queued
+    decodes are cancelled, and the worker threads exit instead of being joined for
+    minutes at process exit."""
+    import threading
+    import time as _time
+
+    p = FeatureExtractionParams(num_frames=4, fix_skip=2, batch_size=2)
+    uris = [f"synthetic://n=40,h=24,w=32,seed={i}" for i in range(12)]
+    before = threading.active_count()
+    gen = iter_clip_batches(uris, p, 2, decode_hw=(24, 32), num_workers=4)
+    next(gen)  # pool spun up, look-ahead window submitted
+    assert threading.active_count() > before
+    gen.close()  # GeneratorExit at the yield -> finally -> pool.shutdown(cancel)
+    deadline = _time.time() + 20
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert threading.active_count() <= before
