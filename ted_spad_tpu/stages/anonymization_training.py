@@ -52,7 +52,12 @@ from ted_spad_tpu.ops.losses import (
 )
 from ted_spad_tpu.stages.action_training import evaluate_action, make_eval_step
 from ted_spad_tpu.stages.common import epoch_mean, make_optimizer, set_learning_rate
-from ted_spad_tpu.utils.checkpoint import BestCheckpointer, flush_checkpoints, save_checkpoint, save_temp
+from ted_spad_tpu.utils.checkpoint import (
+    BestCheckpointer,
+    async_writer,
+    flush_checkpoints,
+    save_temp,
+)
 
 
 def _block_policy():
@@ -184,8 +189,13 @@ def _fb_loss(fb_model, fb_vars, anon_pair, p: AnonymizationParams, train: bool,
         z2, m2 = apply_fn({**fb_vars, **m1}, anon_pair[1])
         mutated = m2
     else:
-        z1 = fb_model.apply(fb_vars, anon_pair[0], train=False)
-        z2 = fb_model.apply(fb_vars, anon_pair[1], train=False)
+        # Frozen fb still sits on fa's gradient path (loss_fb differentiates through
+        # the anonymized views), so its ResNet-50 activations are checkpointed under
+        # remat exactly like the frozen-ft branch in _ft_losses — an unwrapped apply
+        # would keep 2x12 views of 224² activations resident in the fa backward.
+        apply_eval = ckpt(lambda variables, x: fb_model.apply(variables, x, train=False))
+        z1 = apply_eval(fb_vars, anon_pair[0])
+        z2 = apply_eval(fb_vars, anon_pair[1])
         mutated = None
     return nt_xent_loss(z1, z2, p.nt_xent_temperature, p.nt_xent_cosine), mutated
 
@@ -214,6 +224,14 @@ def make_fa_step(
     (lax.scan over grads): full reference batch (8 videos + 12 VISPR pairs at 224²,
     params_anonymization.py) on one v5e chip without exceeding HBM. Gradients are the
     mean over microbatches; BN stats chain through the scan.
+
+    DIVERGENCE (documented in README): the contrastive losses are batch-coupled, so
+    under accumulation NT-Xent/SupCon contrast within each MICROBATCH — e.g. at
+    accum_steps=2 each NT-Xent sees 6 VISPR pairs (10 negatives) instead of the full
+    batch's 12 pairs (22 negatives). Accumulation reproduces the reference's memory
+    footprint and per-sample gradients for the decomposable losses (CE, triplet),
+    not the exact full-batch contrastive value; computing it exactly would require
+    keeping every microbatch's fb activations alive, forfeiting the memory saving.
 
     ``fa_vars``/``opt_state`` buffers are DONATED: XLA writes the updated fa params
     and optimizer moments in place instead of holding old+new copies (~0.5 GB of the
@@ -292,11 +310,14 @@ def make_fbft_step(fa_model, fb_model, ft_model, opt_fb, opt_ft, p: Anonymizatio
     def fbft_step(
         fa_vars, fb_vars, ft_vars, opt_fb_state, opt_ft_state, rng, vispr1, vispr2, clips, labels
     ):
-        # Frozen fa (eval + stop_gradient), train_anonymizer.py:142-148.
+        # Frozen fa (eval + stop_gradient), train_anonymizer.py:142-148. remat=False
+        # on all three: nothing differentiates through these forwards (stop_gradient
+        # below), so jax.checkpoint would never fire anyway — passing the resolved
+        # remat here only misleads readers into thinking it is honored.
         remat = _resolve_remat(p, clips, vispr1)
-        anon_v1, _ = _anon_frames(fa_model, fa_vars, vispr1[:, None], train=False, remat=remat)
-        anon_v2, _ = _anon_frames(fa_model, fa_vars, vispr2[:, None], train=False, remat=remat)
-        anon_clips, _ = _anon_frames(fa_model, fa_vars, clips, train=False, quirk=p.quirk_compat)
+        anon_v1, _ = _anon_frames(fa_model, fa_vars, vispr1[:, None], train=False, remat=False)
+        anon_v2, _ = _anon_frames(fa_model, fa_vars, vispr2[:, None], train=False, remat=False)
+        anon_clips, _ = _anon_frames(fa_model, fa_vars, clips, train=False, quirk=p.quirk_compat, remat=False)
         anon_v1, anon_v2, anon_clips = map(jax.lax.stop_gradient, (anon_v1, anon_v2, anon_clips))
 
         def loss_fn(both_params):
@@ -445,8 +466,22 @@ def train_anonymizer(
                     v1, v2, clips, labels = shard_batch(mesh, (v1, v2, clips, labels))
 
                 if step == 1:
+                    fv1, fv2, fclips, flabels = v1, v2, clips, labels
+                    if p.accum_steps > 1:
+                        # Ragged batches (corrupt-video drops, the min-2 collate
+                        # filter, videos.py) break the in-step microbatch reshape:
+                        # trim to a multiple of accum_steps (rare, so the retrace on
+                        # a new shape is fine); skip the pair entirely when fewer
+                        # samples than microbatches survive.
+                        na = p.accum_steps
+                        bm = (fclips.shape[0] // na) * na
+                        vm = (min(fv1.shape[0], fv2.shape[0]) // na) * na
+                        if bm == 0 or vm == 0:
+                            continue
+                        fv1, fv2 = fv1[:vm], fv2[:vm]
+                        fclips, flabels = fclips[:bm], flabels[:bm]
                     fa_vars, st_fa, lfa, lfb, lft, ltemp = fa_step(
-                        fa_vars, st_fa, fb_vars, ft_vars, k1, v1, v2, clips, labels
+                        fa_vars, st_fa, fb_vars, ft_vars, k1, fv1, fv2, fclips, flabels
                     )
                     ep_losses["fa"].append(lfa)  # raw device scalars; one sync per epoch
                     step = 2
@@ -485,7 +520,10 @@ def train_anonymizer(
         }
         save_temp(os.path.join(save_dir, p.run_id), "model", payload)
         if epoch % 3 == 0:  # optimizer states every 3rd epoch (train_anonymizer.py:539-550)
-            save_checkpoint(
+            # Async like save_temp/best: this is the LARGEST payload (3 models + 3
+            # optimizer states) — a synchronous msgpack+disk write here would stall
+            # every 3rd epoch's dispatch; durability comes from flush_checkpoints().
+            async_writer().save(
                 os.path.join(save_dir, p.run_id, f"model_{epoch}_full.ckpt"),
                 {**payload, "opt_fa": st_fa, "opt_fb": st_fb, "opt_ft": st_ft},
             )

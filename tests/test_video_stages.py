@@ -338,3 +338,29 @@ def test_load_ucf101_list_ids_consistent_across_partial_lists(tmp_path):
     v_ids = {i.uri.split("/")[-2]: i.label for i in v_items}
     for cls in ("Bowling", "Diving"):
         assert t_ids[cls] == v_ids[cls], (cls, t_ids, v_ids)
+
+
+@pytest.mark.slow
+def test_anonymization_accum_ragged_batch(tmp_path):
+    """accum_steps with a batch size not divisible by it: the driver must trim the
+    fa batch to a microbatch multiple (corrupt-video drops produce the same shape)
+    instead of crashing the in-step reshape — every fa batch here is ragged."""
+    from ted_spad_tpu.data.images import SyntheticImageSource
+    from ted_spad_tpu.stages.anonymization_training import train_anonymizer
+
+    p = AnonymizationParams(
+        run_id="anon_accum_ragged", num_classes=4, num_frames=8, reso_h=32, reso_w=32,
+        batch_size=3, batch_size_vispr=4, v_batch_size=2, num_modes=2,
+        cropping_facs=(0.8,), compute_dtype="float32", num_epochs=1,
+        save_acc_threshold=-1.0, accum_steps=2,
+    )
+    train_items = synthetic_video_items(9, 4, num_frames=40, h=48, w=64, seed=0)
+    val_items = synthetic_video_items(4, 4, num_frames=40, h=48, w=64, seed=1)
+    res = train_anonymizer(
+        p, train_items=train_items, val_items=val_items,
+        vispr_source=SyntheticImageSource(n=16, canonical=64),
+        save_dir=str(tmp_path), max_epochs=1, log_fn=lambda s: None,
+    )
+    h = res["history"]
+    assert np.isfinite(h["loss_fa"]).all(), h  # fa steps ran on the trimmed batches
+    assert np.isfinite(h["loss_fb"]).all(), h
