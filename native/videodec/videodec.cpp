@@ -46,6 +46,7 @@ struct Decoder {
   int64_t next_frame = 0;   // index of the next frame the decoder will emit
   int64_t num_frames = -1;  // estimated total frames
   double fps = 0.0;
+  bool at_eof = false;  // codec drained: only a flush+seek can produce frames again
   std::string error;
 
   ~Decoder() {
@@ -59,6 +60,12 @@ struct Decoder {
 };
 
 thread_local std::string g_last_error;
+
+std::string av_err_str(int64_t err) {
+  char buf[AV_ERROR_MAX_STRING_SIZE] = {0};
+  av_strerror(static_cast<int>(err), buf, sizeof(buf));
+  return buf;
+}
 
 int64_t estimate_num_frames(const AVFormatContext* fmt, const AVStream* st, double fps) {
   if (st->nb_frames > 0) return st->nb_frames;
@@ -81,7 +88,12 @@ int decode_next(Decoder* dec) {
       dec->next_frame++;
       return 1;
     }
-    if (ret == AVERROR_EOF) return 0;
+    if (ret == AVERROR_EOF) {
+      // Drained: the codec stays in EOF state until avcodec_flush_buffers — callers
+      // must seek (gather_indices checks at_eof) rather than keep polling.
+      dec->at_eof = true;
+      return 0;
+    }
     if (ret != AVERROR(EAGAIN)) return ret;
     // Feed more packets.
     while (true) {
@@ -221,6 +233,7 @@ int rewind_to_start(Decoder* dec) {
   if (ret < 0) ret = av_seek_frame(dec->fmt, dec->stream_idx, 0, AVSEEK_FLAG_BACKWARD);
   if (ret < 0) return ret;
   avcodec_flush_buffers(dec->codec);
+  dec->at_eof = false;
   dec->next_frame = 0;
   ret = decode_next(dec);  // frame 0
   return ret <= 0 ? (ret < 0 ? ret : AVERROR_EOF) : 1;
@@ -252,6 +265,7 @@ int seek_to(Decoder* dec, int64_t target) {
     int ret = av_seek_frame(dec->fmt, dec->stream_idx, ts, AVSEEK_FLAG_BACKWARD);
     if (ret < 0) return rewind_to_start(dec);
     avcodec_flush_buffers(dec->codec);
+    dec->at_eof = false;
     ret = decode_next(dec);
     if (ret <= 0) return ret < 0 ? ret : AVERROR_EOF;
     const int64_t pts = dec->frame->best_effort_timestamp;
@@ -273,15 +287,23 @@ int seek_to(Decoder* dec, int64_t target) {
 // decord get_batch semantics: skips forward within one decode pass, seeks when the gap
 // is large or backwards. The sink returns 0 on success, <0 on conversion failure —
 // a failed conversion aborts the walk immediately (its slot is NOT counted; decoding
-// the remaining frames would be wasted work). Returns frames delivered (< n at EOF
-// or on conversion failure).
+// the remaining frames would be wasted work). Returns frames delivered (< n at benign
+// EOF or on conversion failure) or a NEGATIVE AVERROR on a demux/decode failure —
+// callers must surface that as an error, never as a short read to pad (padding over
+// corrupt data would save frozen-frame features with no warning).
 template <typename Sink>
 int64_t gather_indices(Decoder* dec, const int64_t* indices, int64_t n, Sink&& sink) {
   int64_t written = 0;
   for (int64_t i = 0; i < n; ++i) {
     const int64_t target = indices[i];
-    if (target < dec->next_frame - 1 || target > dec->next_frame + 256) {
-      if (seek_to(dec, target) <= 0) break;
+    // at_eof: a drained codec can never emit frames by decoding forward — only
+    // flush+seek recovers. Without this, a prior read that ran past the real end
+    // (estimated frame counts routinely overshoot) would leave every later target
+    // inside the old forward window unreadable, silently zero-padded by the caller.
+    if (dec->at_eof || target < dec->next_frame - 1 || target > dec->next_frame + 256) {
+      const int s = seek_to(dec, target);
+      if (s < 0 && s != AVERROR_EOF) return s;
+      if (s <= 0) break;
     }
     // dec->frame currently holds frame (next_frame - 1) after seek; otherwise decode on.
     bool have = dec->next_frame - 1 >= 0 &&
@@ -293,7 +315,8 @@ int64_t gather_indices(Decoder* dec, const int64_t* indices, int64_t n, Sink&& s
       if (ret <= 0) break;
       have = dec->next_frame - 1 == target;
     }
-    if (ret <= 0 && !have) break;
+    if (ret < 0) return ret;  // hard demux/decode error: distinct from benign EOF
+    if (ret == 0 && !have) break;
     if (sink(written) < 0) break;
     written++;
   }
@@ -383,10 +406,10 @@ int vd_width(void* h) { return static_cast<Decoder*>(h)->out_w; }
 int vd_height(void* h) { return static_cast<Decoder*>(h)->out_h; }
 
 // Gather frames at sorted `indices` (n of them) into out (n, out_h, out_w, 3) uint8.
-// Returns frames written (< n at EOF — the caller pads), or -1 if an RGB conversion
-// failed mid-read: a short count would be indistinguishable from benign EOF and the
-// caller would silently pad frozen frames over corrupt data (same contract as the
-// YUV reader).
+// Returns frames written (< n at benign EOF — the caller pads), or -1 if an RGB
+// conversion OR a demux/decode failed mid-read: a short count would be
+// indistinguishable from benign EOF and the caller would silently pad frozen
+// frames over corrupt data (same contract as the YUV reader).
 int64_t vd_read_indices(void* h, const int64_t* indices, int64_t n, uint8_t* out) {
   auto dec = static_cast<Decoder*>(h);
   const int64_t frame_bytes = static_cast<int64_t>(dec->out_w) * dec->out_h * 3;
@@ -398,6 +421,10 @@ int64_t vd_read_indices(void* h, const int64_t* indices, int64_t n, uint8_t* out
   });
   if (failed) {
     g_last_error = "rgb conversion failed (sws_scale short output)";
+    return -1;
+  }
+  if (written < 0) {
+    g_last_error = std::string("demux/decode error: ") + av_err_str(written);
     return -1;
   }
   return written;
@@ -438,8 +465,14 @@ int vd_colorspace(void* h) {
 // the untagged default swscale also assumes for BT.601 conversion).
 int vd_full_range(void* h) {
   auto dec = static_cast<Decoder*>(h);
+  // All three YUVJ formats imply full range even with color_range unset — same
+  // rule as the per-frame frame_full_range; checking only 420P would tag a
+  // yuvj422p/444p MJPEG stream limited while to_yuv420's range-preserving
+  // conversion ships full-range planes (lifted blacks on device).
   return (dec->codec->color_range == AVCOL_RANGE_JPEG ||
-          dec->codec->pix_fmt == AV_PIX_FMT_YUVJ420P)
+          dec->codec->pix_fmt == AV_PIX_FMT_YUVJ420P ||
+          dec->codec->pix_fmt == AV_PIX_FMT_YUVJ422P ||
+          dec->codec->pix_fmt == AV_PIX_FMT_YUVJ444P)
              ? 1
              : 0;
 }
@@ -469,6 +502,10 @@ int64_t vd_read_indices_yuv(void* h, const int64_t* indices, int64_t n, uint8_t*
   });
   if (failed) {
     g_last_error = "yuv420 conversion failed (unsupported pixel format)";
+    return -1;
+  }
+  if (written < 0) {
+    g_last_error = std::string("demux/decode error: ") + av_err_str(written);
     return -1;
   }
   return written;

@@ -30,8 +30,24 @@ def _load_library():
     if _lib is not None or _lib_error is not None:
         return _lib
     try:
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(["make", "-C", os.path.dirname(_LIB_PATH)], check=True, capture_output=True)
+        # Always run make (a no-op when the .so is fresh): a stale prebuilt library
+        # missing newer symbols would otherwise latch _lib_error on the first
+        # missing-attribute access and permanently disable the native layer. An
+        # exclusive file lock serializes concurrent builders (decode pool threads,
+        # jax.distributed ranks) — make writes the .so non-atomically.
+        try:
+            import fcntl
+
+            with open(os.path.join(os.path.dirname(_LIB_PATH), ".build.lock"), "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                subprocess.run(
+                    ["make", "-C", os.path.dirname(_LIB_PATH)], check=True, capture_output=True
+                )
+        except Exception:  # noqa: BLE001
+            if not os.path.exists(_LIB_PATH):
+                raise  # nothing to load and no way to build it
+            # Build toolchain unavailable (deployment image) but a prebuilt .so
+            # exists: load it as-is.
         lib = ctypes.CDLL(_LIB_PATH)
         lib.vd_open.restype = ctypes.c_void_p
         lib.vd_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
@@ -143,6 +159,19 @@ class VideoReader:
         self.height = lib.vd_height(self._h)
         self.fps = lib.vd_fps(self._h)
         self._num_frames = int(lib.vd_num_frames(self._h))
+        if self._num_frames < 0:
+            # No nb_frames and no usable duration (raw elementary streams, some live
+            # captures): every consumer needs len() for clip windowing, and a -1
+            # would otherwise surface as an opaque "__len__ should be >= 0" — fail
+            # here with a clear message the corrupt-video tolerance can log.
+            lib.vd_close(self._h)
+            self._h = None
+            raise IOError(f"{path}: frame count unknown (no nb_frames and no usable duration)")
+
+    def _handle(self):
+        if not self._h:
+            raise IOError(f"VideoReader for {self.path} is closed")
+        return self._h
 
     @property
     def colorspace(self) -> int:
@@ -150,10 +179,28 @@ class VideoReader:
         -1 (other, e.g. BT.2020). RGB reads honor 601/709 per-frame (native to_rgb
         selects the matrix); the planar ingest path converts on device with the
         family this reports (ops/yuv.py ``bt709`` row flags). -1 is rejected."""
-        return int(self._lib.vd_colorspace(self._h))
+        return int(self._lib.vd_colorspace(self._handle()))
 
     def __len__(self) -> int:
         return self._num_frames
+
+    def _raise_or_pad(self, got: int, n: int, planes, fills) -> None:
+        """Shared short-read epilogue. ``got < 0``: the native layer reported a
+        demux/decode/conversion FAILURE — raise so the corrupt-video tolerance skips
+        the file instead of padding frozen garbage over it. ``got < n``: benign EOF
+        (estimated frame counts overshoot) — pad with the last delivered frame, or
+        the neutral fill when nothing was delivered (never leak uninitialized
+        memory)."""
+        if got < 0:
+            raise IOError(
+                f"read failed for {self.path}: {self._lib.vd_last_error().decode()}"
+            )
+        if got < n:
+            for p, fill in zip(planes, fills):
+                if got == 0:
+                    p[:] = fill
+                else:
+                    p[got:] = p[got - 1]
 
     def get_batch(self, indices: Sequence[int]) -> np.ndarray:
         """decord ``VideoReader.get_batch`` semantics (ucf101_dl.py:68, 91): frames in
@@ -166,25 +213,12 @@ class VideoReader:
         uniq = np.unique(req)  # sorted ascending, deduplicated
         dec = np.empty((len(uniq), self.height, self.width, 3), dtype=np.uint8)
         n = self._lib.vd_read_indices(
-            self._h,
+            self._handle(),
             uniq.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(uniq),
             dec.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
-        if n < 0:
-            # Conversion failure (not EOF): surface it so the loaders' corrupt-video
-            # tolerance can skip the file instead of padding frozen garbage frames.
-            raise IOError(
-                f"rgb read failed for {self.path}: {self._lib.vd_last_error().decode()}"
-            )
-        if n < len(uniq):
-            # EOF short-read: pad with the last decoded frame (the loaders apply their
-            # own padding policies on top, ucf101_dl.py:550-567). A zero-frame read
-            # (bad seek / overestimated frame count) must not leak uninitialized memory.
-            if n == 0:
-                dec[:] = 0
-            else:
-                dec[n:] = dec[n - 1]
+        self._raise_or_pad(n, len(uniq), (dec,), (0,))
         return dec[np.searchsorted(uniq, req)]
 
     def read_strided_yuv(self, start: int, n: int, stride: int):
@@ -192,50 +226,29 @@ class VideoReader:
         at NATIVE resolution — 1.5 bytes/px instead of RGB24's 3, no host-side color
         conversion; chroma upsample + BT.601 happen in the device preprocess
         (ops/yuv.py). EOF short-reads pad with the last frame like ``read_strided``."""
-        nh = self._lib.vd_native_height(self._h)
-        nw = self._lib.vd_native_width(self._h)
+        h = self._handle()
+        nh = self._lib.vd_native_height(h)
+        nw = self._lib.vd_native_width(h)
         y = np.empty((n, nh, nw), np.uint8)
         u = np.empty((n, nh // 2, nw // 2), np.uint8)
         v = np.empty((n, nh // 2, nw // 2), np.uint8)
         got = self._lib.vd_read_strided_yuv(
-            self._h, start, n, stride,
+            h, start, n, stride,
             y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
-        if got < 0:
-            raise IOError(
-                f"yuv read failed for {self.path}: {self._lib.vd_last_error().decode()}"
-            )
-        if got < n:
-            if got == 0:
-                # Neutral padding: Y=0, U=V=128 decodes to black like the RGB path's
-                # zero fill (U=V=0 would decode to green).
-                y[:] = 0
-                u[:] = 128
-                v[:] = 128
-            else:
-                for p in (y, u, v):
-                    p[got:] = p[got - 1]
-        return y, u, v, bool(self._lib.vd_full_range(self._h))
+        # Neutral fill: Y=0, U=V=128 decodes to black (U=V=0 would be green).
+        self._raise_or_pad(got, n, (y, u, v), (0, 128, 128))
+        return y, u, v, bool(self._lib.vd_full_range(h))
 
     def read_strided(self, start: int, n: int, stride: int) -> np.ndarray:
         """DALI-style sequence read: n frames at ``start + i*stride`` (dali_extraction.py:72)."""
         out = np.empty((n, self.height, self.width, 3), dtype=np.uint8)
         got = self._lib.vd_read_strided(
-            self._h, start, n, stride, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            self._handle(), start, n, stride, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         )
-        if got < 0:
-            # Conversion failure (not EOF) — same contract as get_batch: raise so the
-            # extraction skip-and-log tolerance fires instead of saving garbage features.
-            raise IOError(
-                f"rgb read failed for {self.path}: {self._lib.vd_last_error().decode()}"
-            )
-        if got < n:
-            if got == 0:
-                out[:] = 0
-            else:
-                out[got:] = out[got - 1]
+        self._raise_or_pad(got, n, (out,), (0,))
         return out
 
     def close(self):
@@ -291,7 +304,10 @@ class SyntheticVideoReader:
     colorspace = 601  # the emulated planar encode below is BT.601
 
     def get_batch(self, indices: Sequence[int]) -> np.ndarray:
-        return np.stack([self._frame(int(i) % self._n) for i in indices])
+        # Clamp past-EOF indices to the last frame — the native reader's EOF padding
+        # semantics (and read_strided's clamp); wrapping modulo would make synthetic
+        # fixtures behave differently from real media on off-by-one index math.
+        return np.stack([self._frame(min(int(i), self._n - 1)) for i in indices])
 
     def read_strided(self, start: int, n: int, stride: int) -> np.ndarray:
         return self.get_batch([min(start + i * stride, self._n - 1) for i in range(n)])
@@ -360,6 +376,15 @@ class VideoWriter:
         self.path = path
 
     def write(self, frame: np.ndarray) -> None:
+        frame = np.asarray(frame)
+        if (frame.ndim != 3 or frame.shape[0] < self.height
+                or frame.shape[1] < self.width or frame.shape[2] != 3):
+            # ve_write reads height*width*3 bytes unconditionally — an undersized or
+            # grayscale frame would be an out-of-bounds read, not a soft error.
+            raise ValueError(
+                f"frame shape {frame.shape} incompatible with {self.height}x"
+                f"{self.width}x3 encoder (larger frames are cropped, never padded)"
+            )
         frame = np.ascontiguousarray(frame[: self.height, : self.width], dtype=np.uint8)
         rc = self._lib.ve_write(self._h, frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         if rc != 0:
