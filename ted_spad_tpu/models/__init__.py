@@ -54,6 +54,13 @@ def _maybe_restore(variables: Any, ckpt_file: str | None, key: str) -> Any:
     return restore_like(variables, entry)
 
 
+# Reduced-graph model configs for mesh-semantics dryruns and sharding tests: the
+# SAME architectures/step code at tiny widths and single-block depths, so XLA
+# compile time on small hosts stops gating multi-device validation
+# (__graft_entry__.dryrun_multichip). Never used for training or weight parity.
+_TINY_FT_SPECS = ((8, 1, 1, (1,)), (16, 1, 2, (1,)), (32, 1, 2, (1,)), (64, 1, 2, (0,)))
+
+
 def load_fa_model(
     saved_model_file: str | None = None,
     arch: str = "unet++",
@@ -61,10 +68,17 @@ def load_fa_model(
     rng: jax.Array | None = None,
     image_size: tuple[int, int] = (224, 224),
     dtype: str | None = "bfloat16",
+    tiny: bool = False,
 ):
     """Anonymizer factory (model_loaders.py:17-53). Returns (module, variables)."""
     if arch == "unet++":
-        model = UNetPlusPlus(dtype=_dtype(dtype))
+        if tiny:
+            model = UNetPlusPlus(
+                decoder_channels=(16, 8, 8, 8), encoder_layers=(1, 1, 1, 1),
+                encoder_width=8, dtype=_dtype(dtype),
+            )
+        else:
+            model = UNetPlusPlus(dtype=_dtype(dtype))
     elif arch == "unet":
         model = UNet(dtype=_dtype(dtype))
     else:
@@ -85,6 +99,7 @@ def load_ft_model(
     clip_shape: tuple[int, int, int] = (16, 224, 224),
     dtype: str | None = "bfloat16",
     dropout_rate: float | None = None,
+    tiny: bool = False,
 ):
     """Utility (action) model factory (model_loaders.py:56-91). Returns (module, variables).
 
@@ -92,11 +107,15 @@ def load_ft_model(
     (see ted_spad_tpu.utils.torch_convert); torch .pth seeds are dependency artifacts, not
     shipped here.
     """
+    if tiny and arch != "largei3d":
+        raise ValueError(f"tiny variant only exists for 'largei3d', not {arch!r}")
     if arch == "i3d":
         kw = {"dropout_rate": dropout_rate} if dropout_rate is not None else {}
         model = InceptionI3d(num_classes=num_classes, dtype=_dtype(dtype), **kw)
     elif arch == "largei3d":
         kw = {"dropout_rate": dropout_rate} if dropout_rate is not None else {}
+        if tiny:
+            kw.update(layer_specs=_TINY_FT_SPECS, stem_width=8)
         model = WrapperI3D(num_classes=num_classes, dtype=_dtype(dtype), **kw)
     elif arch == "r3d_18":
         model = R3D18(num_classes=num_classes, dtype=_dtype(dtype))
@@ -122,11 +141,17 @@ def load_fb_model(
     rng: jax.Array | None = None,
     image_size: tuple[int, int] = (224, 224),
     dtype: str | None = "bfloat16",
+    tiny: bool = False,
 ):
     """Privacy model factory (model_loaders.py:94-121). Returns (module, variables)."""
     if arch != "r50":
         raise ValueError(f"Architecture {arch!r} invalid for fb_model. Try 'r50'")
-    model = ResNet50SSL(dtype=_dtype(dtype)) if ssl else ResNet50Classifier(num_pa, dtype=_dtype(dtype))
+    kw: dict = {"layers": (1, 1, 1, 1), "width": 8} if tiny else {}
+    model = (
+        ResNet50SSL(dtype=_dtype(dtype), **kw)
+        if ssl
+        else ResNet50Classifier(num_pa, dtype=_dtype(dtype), **kw)
+    )
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, *image_size, 3), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(rng, dummy, train=False)

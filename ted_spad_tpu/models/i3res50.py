@@ -136,15 +136,20 @@ class I3Res50(nn.Module):
     num_classes: int = 400
     use_nl: bool = False
     dropout_rate: float = 0.5
+    # Non-default specs exist for mesh-semantics dryruns/tests (XLA compile cost on
+    # small hosts); _LAYER_SPECS is the reference architecture (large_i3d.py:142-145)
+    # and the only configuration with pretrained-weight parity.
+    layer_specs: tuple = _LAYER_SPECS
+    stem_width: int = 64
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.stem = ConvBN(
-            64, (5, 7, 7), (2, 2, 2), padding=[(2, 2), (3, 3), (3, 3)], dtype=self.dtype
+            self.stem_width, (5, 7, 7), (2, 2, 2), padding=[(2, 2), (3, 3), (3, 3)], dtype=self.dtype
         )
         blocks = {}
-        inplanes = 64
-        for li, (planes, n_blocks, stride, temp_conv) in enumerate(_LAYER_SPECS):
+        inplanes = self.stem_width
+        for li, (planes, n_blocks, stride, temp_conv) in enumerate(self.layer_specs):
             nonlocal_mod = 2 if (self.use_nl and li in (1, 2)) else 1000
             for bi in range(n_blocks):
                 s = stride if bi == 0 else 1
@@ -175,11 +180,11 @@ class I3Res50(nn.Module):
 
         x = checkpoint_name(x, "ft_stem")
         x = max_pool_valid(x, (2, 3, 3), (2, 2, 2))
-        for bi in range(_LAYER_SPECS[0][1]):
+        for bi in range(self.layer_specs[0][1]):
             x = self.blocks[f"layer1_{bi}"](x, train, frozen_bn)
         x = max_pool_valid(x, (2, 1, 1), (2, 1, 1))
         for li in (1, 2, 3):
-            for bi in range(_LAYER_SPECS[li][1]):
+            for bi in range(self.layer_specs[li][1]):
                 x = self.blocks[f"layer{li + 1}_{bi}"](x, train, frozen_bn)
                 x = checkpoint_name(x, f"ft_blk_l{li + 1}_{bi}")
         return global_avg_pool(x)  # (B, 2048) f32
@@ -226,6 +231,8 @@ class WrapperI3D(nn.Module):
     num_classes: int = 102
     use_nl: bool = False
     dropout_rate: float = 0.5
+    layer_specs: tuple = _LAYER_SPECS
+    stem_width: int = 64
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -233,6 +240,8 @@ class WrapperI3D(nn.Module):
             num_classes=self.num_classes,
             use_nl=self.use_nl,
             dropout_rate=self.dropout_rate,
+            layer_specs=self.layer_specs,
+            stem_width=self.stem_width,
             dtype=self.dtype,
         )
         self.mlp = MlpHead(dtype=self.dtype)

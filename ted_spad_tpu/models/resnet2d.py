@@ -75,6 +75,8 @@ class ResNet2D(nn.Module):
     block: str = "bottleneck"  # 'basic' | 'bottleneck'
     layers: Sequence[int] = (3, 4, 6, 3)
     depth: int = 5  # how many downsampling stages to run (4 for the UNet++ encoder)
+    width: int = 64  # stem width; stage planes are width x (1, 2, 4, 8). Non-default
+    # widths exist for mesh-semantics dryruns/tests (compile cost), not weight parity.
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -83,7 +85,7 @@ class ResNet2D(nn.Module):
         expansion = 1 if self.block == "basic" else 4
         feats = [x]
 
-        x = ConvBN(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], dtype=self.dtype, name="stem")(x, train)
+        x = ConvBN(self.width, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], dtype=self.dtype, name="stem")(x, train)
         feats.append(x)
         if self.depth < 2:
             return feats
@@ -94,8 +96,9 @@ class ResNet2D(nn.Module):
         x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], constant_values=neg)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
 
-        inplanes = 64
-        for stage, (planes, n_blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
+        inplanes = self.width
+        stage_planes = tuple(self.width * m for m in (1, 2, 4, 8))
+        for stage, (planes, n_blocks) in enumerate(zip(stage_planes, self.layers)):
             if stage + 2 > self.depth:
                 break
             stride = 1 if stage == 0 else 2
@@ -112,13 +115,16 @@ class ResNet50Classifier(nn.Module):
     """fb privacy predictor: resnet50 + fc(num_classes) (model_loaders.py:157-168)."""
 
     num_classes: int = 7
+    layers: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        feats = ResNet2D(block="bottleneck", layers=(3, 4, 6, 3), depth=5, dtype=self.dtype, name="backbone")(
-            x, train
-        )
+        feats = ResNet2D(
+            block="bottleneck", layers=tuple(self.layers), depth=5, width=self.width,
+            dtype=self.dtype, name="backbone",
+        )(x, train)
         pooled = global_avg_pool(feats[-1])
         return nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(pooled)
 
@@ -128,13 +134,16 @@ class ResNet50SSL(nn.Module):
     (model_loaders.py:124-149). Returns the 128-d projection used by NT-Xent."""
 
     embedding_dim: int = 128
+    layers: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        feats = ResNet2D(block="bottleneck", layers=(3, 4, 6, 3), depth=5, dtype=self.dtype, name="backbone")(
-            x, train
-        )
+        feats = ResNet2D(
+            block="bottleneck", layers=tuple(self.layers), depth=5, width=self.width,
+            dtype=self.dtype, name="backbone",
+        )(x, train)
         h = global_avg_pool(feats[-1])
         z = nn.Dense(2048, dtype=self.dtype, name="proj_fc1")(h)
         z = nn.relu(z)

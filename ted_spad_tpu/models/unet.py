@@ -95,13 +95,21 @@ class UNetPlusPlus(nn.Module):
 
     out_channels: int = 3
     decoder_channels: Sequence[int] = (256, 128, 64, 32)
+    # Encoder depth/width knobs exist for mesh-semantics dryruns/tests (XLA compile
+    # cost on small hosts); the defaults are the reference architecture and the only
+    # configuration with pretrained-weight parity.
+    encoder_layers: Sequence[int] = (2, 2, 2, 2)
+    encoder_width: int = 64
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         in_h, in_w = x.shape[-3], x.shape[-2]
         # ResNet-18 encoder, depth 4: feats [input, /2 64, /4 64, /8 128, /16 256].
-        feats = ResNet2D(block="basic", layers=(2, 2, 2, 2), depth=4, dtype=self.dtype, name="encoder")(x, train)
+        feats = ResNet2D(
+            block="basic", layers=tuple(self.encoder_layers), depth=4,
+            width=self.encoder_width, dtype=self.dtype, name="encoder",
+        )(x, train)
         # smp drops the input skip and reverses: f[0]=/16(256) f[1]=/8(128) f[2]=/4(64) f[3]=/2(64).
         f = feats[1:][::-1]
         dec = self.decoder_channels
