@@ -253,6 +253,16 @@ def main() -> None:
                     DETAIL["mfu"] = round(flops_per_clip * fused / peak, 4)
                     DETAIL["mfu_peak_assumed_tflops"] = peak / 1e12
                     note(f"mfu {DETAIL['mfu']} ({DETAIL['flops_per_clip']} GFLOP/clip)")
+                    # Quantified ceiling for this design on this part (measured
+                    # per-block rates in COMPONENTS.md §perf): the fused program is
+                    # conv-bound and lane-limited — UNet++ fa's Cout<=64 2D convs
+                    # peak at ~90 TF/s on v5e (the heaviest 112² pair measures
+                    # 90 TF/s ≈ its lane roofline; Pallas refusion measured SLOWER),
+                    # I3Res50's big 3D convs at ~120-140 TF/s — so the
+                    # FLOP-weighted ceiling of the pipeline is ~0.55-0.65 MFU, not
+                    # 1.0. mfu/ceiling says how much headroom honestly remains.
+                    DETAIL["mfu_ceiling_estimate"] = 0.60
+                    DETAIL["mfu_of_ceiling"] = round(DETAIL["mfu"] / 0.60, 3)
         except Exception as e:  # noqa: BLE001 — cost analysis is backend-dependent
             DETAIL["mfu_error"] = repr(e)
 
@@ -338,8 +348,57 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             DETAIL["adversarial_step_error"] = repr(e)
 
+    # === Decode-inclusive end-to-end + honest decode sweep =========================
+    # Before the remaining device timings: the decode story has no committed fallback
+    # (VERDICT r3 #5), while the B=8 remat comparison below is also recorded in
+    # COMPONENTS.md from scripts/bench_remat.py runs.
+    if section("decode_e2e", 240):
+        _decode_e2e(p, extract, fa_vars, ft_vars, batch, clips_dev)
+
+    # === B=8 fa-step remat comparison (reference batch; remat mandatory) ===========
+    # Shares compiled programs with scripts/bench_remat.py (identical optimizer
+    # constants -> persistent-cache hits).
+    if fb_vars is not None and section("remat_b8", 300):
+        try:
+            from ted_spad_tpu.config.params import AnonymizationParams
+            from ted_spad_tpu.stages.anonymization_training import make_fa_step
+            from ted_spad_tpu.stages.common import make_optimizer
+
+            bt8, vb8 = 8, 12  # params_anonymization.py batch sizes
+            key = jax.random.PRNGKey(2)
+            clips8 = jax.random.uniform(key, (bt8, 3, 16, 224, 224, 3), jnp.bfloat16)
+            va8 = jax.random.uniform(jax.random.PRNGKey(3), (vb8, 224, 224, 3), jnp.bfloat16)
+            vb8b = jax.random.uniform(jax.random.PRNGKey(4), (vb8, 224, 224, 3), jnp.bfloat16)
+            labels8 = jnp.zeros((bt8,), jnp.int32)
+            for mode in ("on", "blocks"):
+                # Re-check between modes: each mode compiles a full-step loop program.
+                if remaining() < 150:
+                    DETAIL["remat_b8_skipped"] = f"budget before remat={mode}"
+                    break
+                ap8 = AnonymizationParams(num_frames=16, reso_h=224, reso_w=224, remat=mode)
+                # Same optimizer constants as scripts/bench_remat.py — a different LR
+                # literal is a different XLA program and a guaranteed cache miss.
+                opt_fa8 = make_optimizer(ap8.opt_type, ap8.learning_rate_fa, ap8.weight_decay)
+                st_fa8 = opt_fa8.init(fa_vars["params"])
+                fa_step8 = make_fa_step(fa_model, fb_model, ft_model, opt_fa8, ap8)
+
+                def fa8_once(v1, v2, c, lab, _step=fa_step8, _st=st_fa8):
+                    new_fa, _, lfa, *_ = _step(
+                        fa_vars, _st, fb_vars, ft_vars, key, v1, v2, c, lab
+                    )
+                    return tree_sum(new_fa["params"]) + lfa
+
+                DETAIL[f"adversarial_fa_step_b8_remat_{mode}_ms"] = round(
+                    device_ms_per_call(fa8_once, (va8, vb8b, clips8, labels8), iters=2), 1
+                )
+                note(f"fa step b8 remat={mode}: "
+                     f"{DETAIL[f'adversarial_fa_step_b8_remat_{mode}_ms']} ms")
+            del clips8, va8, vb8b
+        except Exception as e:  # noqa: BLE001 — OOM on small-HBM parts is informative
+            DETAIL["remat_b8_error"] = repr(e)
+
     # === Action training step ======================================================
-    if section("action", 120):
+    if section("action", 110):
         try:
             from ted_spad_tpu.config.params import ActionParams
             from ted_spad_tpu.ops.augment import sample_augment_params
@@ -370,48 +429,6 @@ def main() -> None:
             note(f"action step b8: {DETAIL['action_train_step_ms']} ms")
         except Exception as e:  # noqa: BLE001
             DETAIL["action_step_error"] = repr(e)
-
-    # === Decode-inclusive end-to-end + honest decode sweep =========================
-    if section("decode_e2e", 300):
-        _decode_e2e(p, extract, fa_vars, ft_vars, batch, clips_dev)
-
-    # === B=8 fa-step remat comparison (reference batch; remat mandatory) ===========
-    if fb_vars is not None and section("remat_b8", 280):
-        try:
-            from ted_spad_tpu.config.params import AnonymizationParams
-            from ted_spad_tpu.stages.anonymization_training import make_fa_step
-            from ted_spad_tpu.stages.common import make_optimizer
-
-            bt8, vb8 = 8, 12  # params_anonymization.py batch sizes
-            key = jax.random.PRNGKey(2)
-            clips8 = jax.random.uniform(key, (bt8, 3, 16, 224, 224, 3), jnp.bfloat16)
-            va8 = jax.random.uniform(jax.random.PRNGKey(3), (vb8, 224, 224, 3), jnp.bfloat16)
-            vb8b = jax.random.uniform(jax.random.PRNGKey(4), (vb8, 224, 224, 3), jnp.bfloat16)
-            labels8 = jnp.zeros((bt8,), jnp.int32)
-            opt_fa = make_optimizer("adam", 1e-5)
-            st_fa8 = opt_fa.init(fa_vars["params"])
-            for mode in ("on", "blocks"):
-                # Re-check between modes: each mode compiles a full-step loop program.
-                if remaining() < 140:
-                    DETAIL["remat_b8_skipped"] = f"budget before remat={mode}"
-                    break
-                ap8 = AnonymizationParams(num_frames=16, reso_h=224, reso_w=224, remat=mode)
-                fa_step8 = make_fa_step(fa_model, fb_model, ft_model, opt_fa, ap8)
-
-                def fa8_once(v1, v2, c, lab, _step=fa_step8):
-                    new_fa, _, lfa, *_ = _step(
-                        fa_vars, st_fa8, fb_vars, ft_vars, key, v1, v2, c, lab
-                    )
-                    return tree_sum(new_fa["params"]) + lfa
-
-                DETAIL[f"adversarial_fa_step_b8_remat_{mode}_ms"] = round(
-                    device_ms_per_call(fa8_once, (va8, vb8b, clips8, labels8), iters=2), 1
-                )
-                note(f"fa step b8 remat={mode}: "
-                     f"{DETAIL[f'adversarial_fa_step_b8_remat_{mode}_ms']} ms")
-            del clips8, va8, vb8b
-        except Exception as e:  # noqa: BLE001 — OOM on small-HBM parts is informative
-            DETAIL["remat_b8_error"] = repr(e)
 
     # === MGFN training step ========================================================
     if section("mgfn", 90):
@@ -545,54 +562,85 @@ def _decode_e2e(p, extract, fa_vars, ft_vars, batch, clips_dev) -> None:
         cores = len(os.sched_getaffinity(0))
         DETAIL["host_cores"] = cores
 
-        # Decode-only worker sweep (unique realistic files — VERDICT r3 #5).
-        sweep: dict[str, float] = {}
-        best_rate = 0.0
-        for nw in (4, 8, 16):
-            if remaining() < 120:
-                DETAIL["decode_sweep_truncated"] = f"budget before nw={nw}"
-                break
+        # Decode-only worker sweep (unique realistic files — VERDICT r3 #5). Sweep
+        # points run over a STRATIFIED SUBSET (mixed 240p/480p incl. one long file)
+        # so three worker counts fit the envelope; the headline decode rate is then
+        # one FULL-set pass at the best worker count.
+        def _stratified(us, k_each=3):
+            by_res: dict[str, list[str]] = {}
+            for u in us:
+                by_res.setdefault(os.path.basename(u).split("_")[1], []).append(u)
+            sub: list[str] = []
+            for group in by_res.values():
+                sub.extend(group[:k_each])
+            return sub
+
+        def _decode_pass(us, nw, pp=None, mode="rgb"):
             t0 = time.perf_counter()
             n = 0
-            for _, refs, _ in iter_clip_batches(uris, p, batch, num_workers=nw):
+            for _, refs, _ in iter_clip_batches(
+                us, pp or p, batch, num_workers=nw, decode_mode=mode
+            ):
                 n += len(refs)
-            rate = round(n / max(time.perf_counter() - t0, 1e-9), 3)
+            return n, time.perf_counter() - t0
+
+        sub_uris = _stratified(uris)
+        sweep: dict[str, float] = {}
+        best_nw, best_rate = 4, 0.0
+        for nw in (4, 8, 16):
+            if remaining() < 150:
+                DETAIL["decode_sweep_truncated"] = f"budget before nw={nw}"
+                break
+            n, dt = _decode_pass(sub_uris, nw)
+            rate = round(n / max(dt, 1e-9), 3)
             sweep[str(nw)] = rate
-            note(f"decode nw={nw}: {rate} clips/s")
-            best_rate = max(best_rate, rate)
+            note(f"decode nw={nw} (subset {len(sub_uris)}): {rate} clips/s")
+            if rate > best_rate:
+                best_nw, best_rate = nw, rate
             if nw >= 8 and rate < best_rate * 0.95 and cores <= 2:
                 break  # no headroom to scale into; stop burning bench time
         if sweep:
-            DETAIL["decode_workers_sweep"] = sweep
-            DETAIL["decode_clips_per_sec"] = best_rate
-            DETAIL["decode_clips_per_sec_per_core"] = round(best_rate / max(cores, 1), 3)
-
-        # YUV decode-only rate (skips host swscale->RGB; plane memcpy only).
-        if remaining() > 150:
-            t0 = time.perf_counter()
-            n = 0
-            for _, refs, _ in iter_clip_batches(
-                uris, p, batch, num_workers=min(8, max(cores, 4)), decode_mode="yuv"
-            ):
-                n += len(refs)
-            DETAIL["decode_yuv_clips_per_sec"] = round(
-                n / max(time.perf_counter() - t0, 1e-9), 3
+            DETAIL["decode_workers_sweep_subset"] = sweep
+        if sweep and remaining() > 180:
+            n, dt = _decode_pass(uris, best_nw)
+            DETAIL["decode_clips_per_sec"] = round(n / max(dt, 1e-9), 3)
+            DETAIL["decode_clips_per_sec_per_core"] = round(
+                DETAIL["decode_clips_per_sec"] / max(cores, 1), 3
             )
-            note(f"decode yuv: {DETAIL['decode_yuv_clips_per_sec']} clips/s")
+            note(f"decode full set nw={best_nw}: {DETAIL['decode_clips_per_sec']} clips/s")
+
+        # Dataset-representative rate: UCF-Crime is predominantly 320x240 H.264, so
+        # the 240p-only figure is the honest "can the host feed the chip" input.
+        uris_240 = [u for u in uris if "320x240" in os.path.basename(u)]
+        if uris_240 and remaining() > 120:
+            try:
+                n, dt = _decode_pass(uris_240, min(8, max(cores, 4)))
+                DETAIL["decode_240p_clips_per_sec"] = round(n / max(dt, 1e-9), 3)
+                note(f"decode 240p-only: {DETAIL['decode_240p_clips_per_sec']} clips/s")
+            except Exception as e:  # noqa: BLE001
+                DETAIL["decode_240p_error"] = repr(e)
+
+        # YUV decode-only rate (skips host swscale->RGB; plane memcpy only). yuv mode
+        # reads at native resolution, so it runs on the 240p files that match the
+        # extraction decode_hw — mixed-resolution sets are an rgb-mode feature.
+        if uris_240 and remaining() > 110:
+            try:
+                n, dt = _decode_pass(uris_240[:8], min(8, max(cores, 4)), mode="yuv")
+                DETAIL["decode_yuv_240p_clips_per_sec"] = round(n / max(dt, 1e-9), 3)
+                note(f"decode yuv (240p): {DETAIL['decode_yuv_240p_clips_per_sec']} clips/s")
+            except Exception as e:  # noqa: BLE001
+                DETAIL["decode_yuv_error"] = repr(e)
 
         # Opt-in decode_fast rate (skip h264 loop filter; not bit-exact — README
         # divergences): cheapest host decode when extraction is decode-bound.
-        if remaining() > 150:
-            t0 = time.perf_counter()
-            n = 0
-            for _, refs, _ in iter_clip_batches(
-                uris, p.replace(decode_fast=True), batch, num_workers=min(8, max(cores, 4))
-            ):
-                n += len(refs)
-            DETAIL["decode_fast_clips_per_sec"] = round(
-                n / max(time.perf_counter() - t0, 1e-9), 3
-            )
-            note(f"decode fast: {DETAIL['decode_fast_clips_per_sec']} clips/s")
+        if remaining() > 110:
+            try:
+                n, dt = _decode_pass(sub_uris, min(8, max(cores, 4)),
+                                     pp=p.replace(decode_fast=True))
+                DETAIL["decode_fast_clips_per_sec"] = round(n / max(dt, 1e-9), 3)
+                note(f"decode fast (subset): {DETAIL['decode_fast_clips_per_sec']} clips/s")
+            except Exception as e:  # noqa: BLE001
+                DETAIL["decode_fast_error"] = repr(e)
 
         # Decode-inclusive end-to-end over a subset (device program already warm).
         if remaining() > 120:

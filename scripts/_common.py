@@ -116,9 +116,19 @@ def setup_platform(args) -> None:
         args.cpu = True
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache for every stage/serving entry point: a cold
+    # score_video invocation was paying a ~7 min client-side recompile of the
+    # fused extraction program per process (measured round 4); plain jit
+    # programs verifiably hit this cache across processes.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_tpu_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def finalize_params(p, args):

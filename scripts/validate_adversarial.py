@@ -31,22 +31,29 @@ def main() -> None:
 
     import tempfile
 
-    from ted_spad_tpu.config.params import AnonymizationParams, PrivacyParams
+    from ted_spad_tpu.config.params import AnonymizationParams, PrivacyParams, ReconstructionParams
     from ted_spad_tpu.data.images import SyntheticImageSource
     from ted_spad_tpu.data.videos import synthetic_video_items
     from ted_spad_tpu.stages.anonymization_training import train_anonymizer
+    from ted_spad_tpu.stages.fa_pretraining import train_reconstruction
     from ted_spad_tpu.stages.privacy_training import train_privacy
 
     save = args.save_dir if args.save_dir != "saved_models" else tempfile.mkdtemp()
     ep = args.epochs or 4
 
     if args.scale == "reference":
-        # Production shapes (params_anonymization.py: 16 frames 224^2, bf16). Batch 4
-        # videos + 6 VISPR pairs matches the BENCH step shapes, so a warm compile
-        # cache is reused; videos are decode-shaped 240x320, images 256-canonical.
+        # FULL production scale (params_anonymization.py:52-59: 8 videos x 3 views +
+        # 12 VISPR pairs, 16 frames 224^2, bf16) — remat='auto' resolves ON at this
+        # size; measured on a 16 GB v5e: fa step 517 ms, fused fb/ft step 182 ms,
+        # no OOM (scripts/bench_remat.py, round 4). Videos are decode-shaped
+        # 240x320, images 256-canonical.
+        # Reference LRs (1e-5, fa x0.4 — params_anonymization.py:55-57), NOT the tiny
+        # branch's 1e-4: at 224² bf16 the 10x LR blows fa's unbounded output up within
+        # two adversarial epochs (observed: finite train losses but NaN val logits).
+        # This run validates scale/HBM/stability; the tiny run validates dynamics.
         ano = AnonymizationParams(
-            run_id="validate_anon", num_classes=4, batch_size=4, batch_size_vispr=6,
-            v_batch_size=4, num_modes=2, save_acc_threshold=-1.0, learning_rate=1e-4,
+            run_id="validate_anon", num_classes=4, batch_size=8, batch_size_vispr=12,
+            v_batch_size=4, num_modes=2, save_acc_threshold=-1.0,
         )
         train_items = synthetic_video_items(16, 4, num_frames=96, h=240, w=320, seed=args.seed)
         val_items = synthetic_video_items(4, 4, num_frames=96, h=240, w=320, seed=args.seed + 1)
@@ -55,6 +62,21 @@ def main() -> None:
                            compute_dtype="bfloat16")
         tr = SyntheticImageSource(n=48, canonical=256, seed=args.seed)
         va = SyntheticImageSource(n=32, canonical=256, seed=args.seed + 1)
+        # The reference NEVER starts the adversarial loop from a random fa — it seeds
+        # from the reconstruction pretrain (fa_recon.pth, train_anonymizer.py:334).
+        # A random-init fa's unbounded output is tamed by train-mode BN but explodes
+        # through ft's eval-mode BN (stale running stats) at 224²: finite train
+        # losses, NaN val logits (observed). Mirror the reference workflow: a short
+        # L1 reconstruction pretrain, then seed the anonymizer from its checkpoint.
+        import os
+
+        rp = ReconstructionParams(run_id="validate_recon", batch_size=8,
+                                  compute_dtype="bfloat16")
+        train_reconstruction(rp, train_source=vispr, val_source=None, save_dir=save,
+                             max_epochs=2, log_fn=lambda s: None, seed=args.seed)
+        ano = ano.replace(
+            saved_model_fa=os.path.join(save, rp.run_id, "model_temp.ckpt")
+        )
     else:
         ano = AnonymizationParams(
             run_id="validate_anon", num_classes=4, num_frames=8, reso_h=32, reso_w=32,

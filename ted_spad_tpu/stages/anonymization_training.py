@@ -206,7 +206,12 @@ def _resolve_remat(p: AnonymizationParams, clips, vispr1):
     VISPR pairs) fits and runs ~16% faster (276 vs 329 ms/step); B=8 OOMs. The
     12M frame-pixel threshold is the measured-fits point.
     'on'/'off' force full/no remat; 'blocks' keeps the fa block boundaries
-    resident (see _anon_frames)."""
+    resident (see _anon_frames). Above the threshold 'auto' resolves to FULL
+    remat deliberately: at the reference batch (8 videos + 12 pairs, 224² bf16)
+    blocks LOSES to full remat on v5e — fa step 529.1 vs 517.3 ms, fused fb/ft
+    185.4 vs 182.4 ms (scripts/bench_remat.py, round 4) — the recompute the
+    block policy saves is cheaper than the HBM pressure of its resident
+    boundaries at this scale."""
     if p.remat == "on":
         return True
     if p.remat == "off":

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import math
 import os
 import time
 from typing import Any
@@ -34,9 +35,13 @@ class MetricsWriter:
             pass
 
     def scalar(self, tag: str, value: float, step: int) -> None:
+        # NaN means "no measurement this epoch" (e.g. val_l1 on non-val epochs) —
+        # JSONL records it (json 'NaN' literal, parseable by python/pandas), but the
+        # tensorboardX mirror is skipped: add_scalar prints a noisy
+        # "NaN or Inf found in input tensor." per call and plots nothing useful.
         self._f.write(json.dumps({"tag": tag, "value": float(value), "step": int(step), "ts": time.time()}) + "\n")
         self._f.flush()
-        if self._tb is not None:
+        if self._tb is not None and math.isfinite(float(value)):
             self._tb.add_scalar(tag, value, step)
 
     def scalars(self, values: dict[str, float], step: int) -> None:
