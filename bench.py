@@ -164,6 +164,11 @@ def device_ms_per_call(fn, args, iters: int) -> float:
 
 
 def main() -> None:
+    if os.environ.get("BENCH_FAULT_INJECT") == "init":
+        # Test-only hook (tests/test_driver_gates.py): deterministic pre-headline
+        # failure, standing in for a dead backend/tunnel. Must produce the value-0
+        # failure record and rc=1 through the crash handler.
+        raise RuntimeError("injected init failure (BENCH_FAULT_INJECT=init)")
     import jax
 
     jax.config.update("jax_compilation_cache_dir", ".jax_tpu_cache")

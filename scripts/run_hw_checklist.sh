@@ -1,15 +1,28 @@
 #!/usr/bin/env bash
-# One-command hardware measurement checklist (ROADMAP.md) — run on a session with
-# the TPU tunnel up. Each step is independently bounded and logs to ./hw_checklist/.
+# One-command hardware measurement checklist — run on a session with the TPU tunnel
+# up. Each step is independently bounded and logs to ./hw_checklist/.
 #
 #   bash scripts/run_hw_checklist.sh
 #
-# 1. remat mode comparison at reference scale (B=8): if 'blocks' wins, point
-#    _resolve_remat's over-threshold branch at 'blocks' (stages/anonymization_training.py).
-# 2. full bench (expects action_train_step_ms < 26.3 and adversarial_fbft_step_ms
-#    < 95.9 from the train-mode s2d stem; records decode_fast rate).
-# 3. adversarial dynamics validation at reference scale (re-run; the last attempt
-#    died when the tunnel dropped mid-run).
+# Round-4 status: every step below has a committed result (hw_checklist/*_r4*);
+# re-run after perf-relevant changes to refresh them.
+# 1. remat mode comparison at reference scale (B=8). Round-4 answer: full remat
+#    WINS (fa 517.3 vs 529.1 ms; fbft 182.4 vs 185.4) — _resolve_remat keeps its
+#    full-remat over-threshold branch; flip it only if a re-run reverses the order.
+# 2. full bench under the DRIVER-LIKE envelope (BENCH_TIMEOUT_S defaults to 1200
+#    inside bench.py; the external bound is slightly larger so the in-process
+#    watchdog, not SIGKILL, ends an overrun). Round-4 record:
+#    hw_checklist/bench_r4_full_record.json (302 clips/s @ 52.5% MFU).
+# 3. adversarial dynamics validation at full reference scale (8+12 @ 224^2,
+#    reference LRs, recon-seeded fa). Round-4 log:
+#    hw_checklist/validate_adversarial_reference_r4.log.
+# 4. driver-gate rehearsal (bench + dryrun output contracts under a driver-like
+#    external timeout) — the r3 rc=124 regression guard.
+#
+# NOTE (measured r4): the persistent compile cache is source-location sensitive.
+# After the LAST edit to bench.py or __graft_entry__.py in a round, run this
+# checklist (or at least steps 2 and 4) once so the driver's round-end runs hit
+# a warm cache.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p hw_checklist
@@ -22,15 +35,19 @@ fi
 cat hw_checklist/probe.log
 
 echo "== 1. remat comparison (B=8, on/blocks, fa + fbft)"
-timeout 3600 python scripts/bench_remat.py --batch 8 --modes on,blocks --fbft \
+timeout 3600 python -u scripts/bench_remat.py --batch 8 --modes on,blocks --fbft \
   2>&1 | tee hw_checklist/remat.log
 
-echo "== 2. bench.py"
-BENCH_INIT_TIMEOUT_S=300 timeout 4000 python bench.py 2> hw_checklist/bench.stderr.log \
+echo "== 2. bench.py (driver-like envelope)"
+timeout 1500 python bench.py 2> hw_checklist/bench.stderr.log \
   | tee hw_checklist/bench.json
 
 echo "== 3. validate_adversarial --scale reference"
-timeout 7200 python scripts/validate_adversarial.py --scale reference \
+timeout 7200 python -u scripts/validate_adversarial.py --scale reference \
   2>&1 | tee hw_checklist/validate_adversarial.log
+
+echo "== 4. driver-gate rehearsal (dryrun contract; bench already ran above)"
+timeout 1300 python scripts/rehearse_driver_gates.py --gate dryrun --envelope 1200 \
+  2>&1 | tee hw_checklist/rehearsal.log
 
 echo "== done; logs in hw_checklist/"

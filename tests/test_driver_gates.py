@@ -66,6 +66,26 @@ def test_bench_emit_is_one_shot():
     bench._print_fail_record("late failure")  # must not raise or print a 2nd record
 
 
+def test_bench_failure_record_on_crash():
+    """If bench dies before the headline exists (dead backend, crash), it must
+    still print exactly one JSON record (value 0, fatal_error) and exit 1 — never
+    an empty stdout like BENCH_r03. BENCH_FAULT_INJECT=init fails pre-headline
+    deterministically (racing the init-fuse timer was flaky on a busy host, and
+    this box force-selects its platform outside the env-var path, so a bogus
+    JAX_PLATFORMS cannot crash it)."""
+    proc = _run(
+        [sys.executable, "bench.py"],
+        timeout=300,
+        extra_env={"BENCH_FAULT_INJECT": "init"},
+    )
+    assert proc.returncode == 1
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected exactly one stdout line, got {lines[:3]}"
+    rec = json.loads(lines[0])
+    assert rec["value"] == 0.0
+    assert "fatal_error" in rec["detail"]
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_rehearsal_under_driver_timeout():
     """dryrun_multichip(8) must finish inside a driver-like envelope and print all
