@@ -34,6 +34,11 @@ if ! timeout 90 python -c "import jax; print(jax.devices())" > hw_checklist/prob
 fi
 cat hw_checklist/probe.log
 
+echo "== 0.5 pre-generate the full decode fixture set (one-time ~15-20 min encode;"
+echo "       cached under .bench_videos/, instant when already present)"
+timeout 2400 python -u scripts/gen_bench_videos.py 2>&1 | tail -3 \
+  || echo "fixture pre-generation failed/timed out — bench will use reduced16"
+
 echo "== 1. remat comparison (B=8, on/blocks, fa + fbft)"
 timeout 3600 python -u scripts/bench_remat.py --batch 8 --modes on,blocks --fbft \
   2>&1 | tee hw_checklist/remat.log

@@ -151,6 +151,160 @@ def _conv3x3_best(x: Array, w: Array, dtype) -> Array:
     return _conv(x, w, dtype)
 
 
+def _conv_sp(x: Array, w: Array, strides, padding, dtype) -> Array:
+    """General 2D conv with explicit strides/padding (NHWC/HWIO)."""
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fast ResNet-18 encoder: s2d re-binned stem + inline BasicBlocks
+# ---------------------------------------------------------------------------
+#
+# The encoder stem is a 7x7 stride-2 conv with Cin=3 — the same lane-starved
+# shape class as the I3Res50 stem (3 of 128 MXU input lanes). Re-bin the taps
+# onto the 2x2 space-to-depth grid (ops/fast_i3d.py precedent: 11.8 -> 4.1 ms
+# per 256 frames): fine tap k-3 lands at coarse offset floor((k-3)/2), parity
+# (k-3) mod 2 — an exact weight permutation, 12 input lanes, stride 1 on the
+# coarse grid, fine pad (3,3) -> coarse pad (2,1). The rest of the encoder runs
+# inline (eval: folded BN; train: flax-exact batch stats) so both UNet++ fast
+# paths are pure functions over the unchanged param tree.
+# Reference semantics: smp UnetPlusPlus resnet18 encoder (model_loaders.py:18-30).
+
+
+def stem2d_s2d_kernel(w: Array) -> Array:
+    """(7,7,Cin,Cout) -> (4,4,4*Cin,Cout): exact tap re-binning for s2d input.
+
+    Input channel blocks (qy, qx, c) match ``fast_i3d.space_to_depth_2x2``'s
+    channel order; 2D analogue of ``fast_i3d.stem_s2d_kernel``."""
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (7, 7), w.shape
+    ws = jnp.zeros((4, 4, 4, cin, cout), w.dtype)
+    for jy in range(7):
+        ay, qy = (jy - 3) // 2 + 2, (jy - 3) % 2
+        for jx in range(7):
+            ax, qx = (jx - 3) // 2 + 2, (jx - 3) % 2
+            ws = ws.at[ay, ax, qy * 2 + qx, :, :].set(w[jy, jx])
+    return ws.reshape(4, 4, 4 * cin, cout)
+
+
+def _stem_s2d_conv(p_stem: dict, frames: Array, dtype) -> Array:
+    """The stride-2 7x7 stem conv computed on the space-to-depth layout."""
+    from ted_spad_tpu.ops.fast_i3d import space_to_depth_2x2
+
+    ws = stem2d_s2d_kernel(p_stem["conv"]["kernel"])
+    xs = space_to_depth_2x2(frames.astype(dtype))
+    return _conv_sp(xs, ws, (1, 1), [(2, 1), (2, 1)], dtype)
+
+
+def _resnet_maxpool(x: Array) -> Array:
+    """torchvision maxpool k3 s2 with symmetric pad=1 (models/resnet2d.py:92-97)."""
+    neg = jnp.finfo(x.dtype).min
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], constant_values=neg)
+    # -inf init (not finfo.min): reverse-mode autodiff only recognizes the
+    # max-pool pattern with the reducer's true identity element.
+    return jax.lax.reduce_window(
+        xp, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+# (layer name, num blocks, first-block stride) for the depth-4 r18 encoder.
+_R18_ENC_LAYERS = (("layer1", 2, 1), ("layer2", 2, 2), ("layer3", 2, 2))
+
+
+def _basic_block_eval(x: Array, p: dict, s: dict, stride: int, dtype) -> Array:
+    """torchvision BasicBlock eval forward with folded BN (resnet2d.py:27-44)."""
+    y = _conv_sp(x, p["conv1"]["conv"]["kernel"], (stride, stride), [(1, 1), (1, 1)], dtype)
+    sc, bi = _bn_affine(p["conv1"]["bn"], s["conv1"]["bn"])
+    y = jax.nn.relu(y * sc.astype(dtype) + bi.astype(dtype))
+    y = _conv_sp(y, p["conv2"]["conv"]["kernel"], (1, 1), [(1, 1), (1, 1)], dtype)
+    sc, bi = _bn_affine(p["conv2"]["bn"], s["conv2"]["bn"])
+    y = y * sc.astype(dtype) + bi.astype(dtype)
+    if "downsample" in p:
+        # 1x1 stride-s SAME pads zero for every input size -> explicit (0,0).
+        r = _conv_sp(x, p["downsample"]["conv"]["kernel"], (stride, stride), [(0, 0), (0, 0)], dtype)
+        sc, bi = _bn_affine(p["downsample"]["bn"], s["downsample"]["bn"])
+        r = r * sc.astype(dtype) + bi.astype(dtype)
+    else:
+        r = x
+    return jax.nn.relu(y + r)
+
+
+def fast_encoder_apply(p_enc: dict, s_enc: dict, frames: Array, dtype) -> list:
+    """Eval forward of the r18 encoder with the s2d stem. Returns the stage
+    feature list [stem(/2,64), layer1(/4,64), layer2(/8,128), layer3(/16,256)]
+    == ``ResNet2D.apply(...)[1:]`` (the input itself is never consumed by the
+    UNet++ decoder)."""
+    y = _stem_s2d_conv(p_enc["stem"], frames, dtype)
+    sc, bi = _bn_affine(p_enc["stem"]["bn"], s_enc["stem"]["bn"])
+    f1 = jax.nn.relu(y * sc.astype(dtype) + bi.astype(dtype))
+    x = _resnet_maxpool(f1)
+    feats = [f1]
+    for lname, nblocks, stride in _R18_ENC_LAYERS:
+        for i in range(nblocks):
+            x = _basic_block_eval(
+                x, p_enc[f"{lname}_{i}"], s_enc[f"{lname}_{i}"], stride if i == 0 else 1, dtype
+            )
+        feats.append(x)
+    return feats
+
+
+def _basic_block_train(x: Array, p: dict, s: dict, stride: int, dtype):
+    """Train-mode BasicBlock (BN batch stats + running updates via _convbn_train)."""
+    y = _conv_sp(x, p["conv1"]["conv"]["kernel"], (stride, stride), [(1, 1), (1, 1)], dtype)
+    y, s1 = _convbn_train(y, p["conv1"], s["conv1"], dtype)
+    y = _conv_sp(y, p["conv2"]["conv"]["kernel"], (1, 1), [(1, 1), (1, 1)], dtype)
+    y, s2 = _convbn_train(y, p["conv2"], s["conv2"], dtype, relu=False)
+    new = {"conv1": s1, "conv2": s2}
+    if "downsample" in p:
+        r = _conv_sp(x, p["downsample"]["conv"]["kernel"], (stride, stride), [(0, 0), (0, 0)], dtype)
+        r, sd = _convbn_train(r, p["downsample"], s["downsample"], dtype, relu=False)
+        new["downsample"] = sd
+    else:
+        r = x
+    return jax.nn.relu(y + r), new
+
+
+def fast_encoder_train_apply(p_enc: dict, s_enc: dict, frames: Array, dtype):
+    """TRAIN forward of the r18 encoder with the s2d stem: returns
+    ``(stage feature list, updated encoder batch_stats subtree)`` matching
+    ``ResNet2D.apply(..., train=True, mutable=["batch_stats"])``. The stem
+    re-binning is linear in the kernel, so gradients chain back to the original
+    (7,7,3,64) weights exactly; BN statistics are flax-exact (_convbn_train)."""
+    y = _stem_s2d_conv(p_enc["stem"], frames, dtype)
+    f1, st_stem = _convbn_train(y, p_enc["stem"], s_enc["stem"], dtype)
+    new: dict = {"stem": st_stem}
+    x = _resnet_maxpool(f1)
+    feats = [f1]
+    for lname, nblocks, stride in _R18_ENC_LAYERS:
+        for i in range(nblocks):
+            x, bs = _basic_block_train(
+                x, p_enc[f"{lname}_{i}"], s_enc[f"{lname}_{i}"], stride if i == 0 else 1, dtype
+            )
+            new[f"{lname}_{i}"] = bs
+        feats.append(x)
+    return feats, new
+
+
+def encoder_layout_standard(p_enc: dict) -> bool:
+    """True iff the encoder param tree is the reference r18 depth-4 layout the
+    inline fast encoder is derived for (any other config falls back to the
+    module rather than silently mis-slicing)."""
+    try:
+        return (
+            tuple(p_enc["stem"]["conv"]["kernel"].shape) == (7, 7, 3, 64)
+            and all(
+                f"{ln}_{i}" in p_enc for ln, nb, _ in _R18_ENC_LAYERS for i in range(nb)
+            )
+            and "layer4_0" not in p_enc
+        )
+    except (KeyError, TypeError):
+        return False
+
+
 def _bn_affine(p_bn: dict, s_bn: dict, eps: float = 1e-5):
     """Eval-mode BatchNorm folded to (scale, bias), computed in f32."""
     scale = p_bn["scale"] / jnp.sqrt(s_bn["var"] + eps)
@@ -256,19 +410,25 @@ def head_s2d_kernel(w: Array) -> Array:
 
 
 def fast_unetpp_apply(
-    variables: dict, frames: Array, *, encoder_apply, dtype=jnp.bfloat16, emit_s2d: bool = False
+    variables: dict, frames: Array, *, encoder_apply=None, dtype=jnp.bfloat16,
+    emit_s2d: bool = False
 ) -> Array:
     """Fused eval forward of UNetPlusPlus (models/unet.py:100-130 semantics).
 
     ``variables``: the full UNetPlusPlus variable tree (params + batch_stats).
-    ``encoder_apply``: callable (frames) -> encoder feature list — run the module's
-    own ResNet2D encoder so its numerics/padding stay the module's.
+    ``encoder_apply``: None (default) = the inline fast encoder (s2d stem,
+    ``fast_encoder_apply``; caller must have checked ``encoder_layout_standard``);
+    else a callable (frames) -> module encoder feature list (incl. the input at
+    index 0) for non-standard encoder configs.
     ``emit_s2d``: return (N, H/2, W/2, 12) space-to-depth output in ``dtype`` (for
     feeding the I3Res50 fast stem directly) instead of (N, H, W, 3) float32.
     """
     p, st = variables["params"], variables["batch_stats"]
     in_h, in_w = frames.shape[-3], frames.shape[-2]
-    feats = encoder_apply(frames)
+    if encoder_apply is None:
+        feats = [None] + fast_encoder_apply(p["encoder"], st["encoder"], frames, dtype)
+    else:
+        feats = encoder_apply(frames)
     f = feats[1:][::-1]  # [/16(256), /8(128), /4(64), /2(64)]
 
     def blk(name, xin, skip_sum):
@@ -313,11 +473,17 @@ def _convbn_train(y: Array, p: dict, s: dict, dtype, *, relu: bool = True):
     return out, new_stats
 
 
-def fast_unetpp_train_apply(variables: dict, frames: Array, *, encoder_module, dtype=jnp.bfloat16):
+def fast_unetpp_train_apply(
+    variables: dict, frames: Array, *, encoder_module=None, dtype=jnp.bfloat16
+):
     """Fused TRAIN forward of UNetPlusPlus: same conv rewrites as the eval path
-    (up2_conv folding, batched multi-consumer skip convs) with flax-exact BN batch
-    statistics. Returns ``(out, {"batch_stats": updated})`` like
-    ``module.apply(..., train=True, mutable=["batch_stats"])``.
+    (up2_conv folding, s2d encoder stem, batched multi-consumer skip convs) with
+    flax-exact BN batch statistics. Returns ``(out, {"batch_stats": updated})``
+    like ``module.apply(..., train=True, mutable=["batch_stats"])``.
+
+    ``encoder_module``: None (default) = the inline fast encoder
+    (``fast_encoder_train_apply``, s2d stem with exact gradient chaining); else a
+    flax module applied for non-standard encoder configs.
 
     The rewrites are exact weight re-binnings, so conv outputs — and therefore the
     BN statistics computed from them — match the module to float tolerance, and
@@ -327,11 +493,18 @@ def fast_unetpp_train_apply(variables: dict, frames: Array, *, encoder_module, d
 
     p, st = variables["params"], variables["batch_stats"]
     in_h, in_w = frames.shape[-3], frames.shape[-2]
-    enc_vars = {"params": p["encoder"], "batch_stats": st["encoder"]}
-    feats, enc_mut = encoder_module.apply(
-        enc_vars, frames, train=True, mutable=["batch_stats"]
-    )
-    new_stats: dict = {"encoder": enc_mut["batch_stats"]}
+    if encoder_module is None:
+        enc_feats, enc_new = fast_encoder_train_apply(
+            p["encoder"], st["encoder"], frames, dtype
+        )
+        new_stats: dict = {"encoder": enc_new}
+        feats = [None] + enc_feats
+    else:
+        enc_vars = {"params": p["encoder"], "batch_stats": st["encoder"]}
+        feats, enc_mut = encoder_module.apply(
+            enc_vars, frames, train=True, mutable=["batch_stats"]
+        )
+        new_stats = {"encoder": enc_mut["batch_stats"]}
     f = [
         checkpoint_name(t, f"fa_enc_f{i}")
         for i, t in enumerate(feats[1:][::-1])
@@ -386,8 +559,13 @@ def make_fast_fa_apply(fa_model, fa_vars):
     from ted_spad_tpu.models.resnet2d import ResNet2D
 
     enc = ResNet2D(block="basic", layers=(2, 2, 2, 2), depth=4, dtype=dtype)
+    # Standard r18 layout -> inline fast encoder (s2d stem); anything else runs
+    # the module encoder inside the otherwise-fused decoder.
+    inline_enc = encoder_layout_standard(fa_vars["params"].get("encoder", {}))
 
     def encoder_apply_from(variables):
+        if inline_enc:
+            return None
         enc_vars = {
             "params": variables["params"]["encoder"],
             "batch_stats": variables["batch_stats"]["encoder"],
@@ -412,7 +590,8 @@ def make_fast_fa_apply(fa_model, fa_vars):
             # (the anonymizer/recon trainers' shape, stages/*):
             if not emit_s2d and set(kw) == {"mutable"} and list(kw["mutable"]) == ["batch_stats"]:
                 return fast_unetpp_train_apply(
-                    variables, frames, encoder_module=enc, dtype=dtype
+                    variables, frames,
+                    encoder_module=None if inline_enc else enc, dtype=dtype,
                 )
             return fallback(True)
         return fast_unetpp_apply(

@@ -12,16 +12,33 @@ import pytest
 from ted_spad_tpu.models import load_fa_model
 from ted_spad_tpu.ops.fast_unetpp import (
     depth_to_space,
+    encoder_layout_standard,
+    fast_encoder_apply,
+    fast_encoder_train_apply,
     fast_unetpp_apply,
     make_fast_fa_apply,
+    stem2d_s2d_kernel,
     up2_conv,
     up2_fuse_kernel,
     _conv,
+    _conv_sp,
     _conv_wpack,
 )
 
 
 class TestKernelTransforms:
+    def test_stem2d_s2d_kernel_matches_stride2_conv(self):
+        """s2d-rebinned stem == 7x7 stride-2 pad-3 conv (exact permutation)."""
+        from ted_spad_tpu.ops.fast_i3d import space_to_depth_2x2
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 20, 3))
+        w = jax.random.normal(jax.random.PRNGKey(1), (7, 7, 3, 8))
+        ref = _conv_sp(x, w, (2, 2), [(3, 3), (3, 3)], jnp.float32)
+        got = _conv_sp(
+            space_to_depth_2x2(x), stem2d_s2d_kernel(w), (1, 1), [(2, 1), (2, 1)], jnp.float32
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
     def test_up2_fuse_matches_upsample_then_conv(self):
         rng = jax.random.PRNGKey(0)
         x = jax.random.normal(rng, (2, 8, 8, 5))
@@ -46,6 +63,78 @@ class TestKernelTransforms:
         ref = _conv(x, w, jnp.float32)
         got = _conv_wpack(x, w, r, jnp.float32)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+class TestFastEncoderParity:
+    """The inline fast encoder (s2d stem + inline BasicBlocks) vs the ResNet2D
+    module, eval and train, including updated batch stats."""
+
+    def _enc(self):
+        from ted_spad_tpu.models.resnet2d import ResNet2D
+
+        enc = ResNet2D(block="basic", layers=(2, 2, 2, 2), depth=4, dtype=jnp.float32)
+        v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+        # Non-trivial running stats so BN folding is actually exercised.
+        v = jax.tree_util.tree_map(
+            lambda x: x + 0.05 * jax.random.normal(jax.random.PRNGKey(3), x.shape), v
+        )
+        v["batch_stats"] = jax.tree_util.tree_map(jnp.abs, v["batch_stats"])
+        return enc, v
+
+    def test_layout_guard(self):
+        _, v = self._enc()
+        assert encoder_layout_standard(v["params"])
+        assert not encoder_layout_standard({})
+        assert not encoder_layout_standard({"stem": {"conv": {"kernel": jnp.zeros((3, 3, 3, 64))}}})
+
+    def test_eval_matches_module(self):
+        enc, v = self._enc()
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 3))
+        ref = enc.apply(v, x, train=False)[1:]
+        got = fast_encoder_apply(v["params"], v["batch_stats"], x, jnp.float32)
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+    def test_train_matches_module(self):
+        enc, v = self._enc()
+        x = jax.random.normal(jax.random.PRNGKey(6), (3, 32, 32, 3))
+        ref, ref_mut = enc.apply(v, x, train=True, mutable=["batch_stats"])
+        got, new_stats = fast_encoder_train_apply(v["params"], v["batch_stats"], x, jnp.float32)
+        for a, b in zip(got, ref[1:]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+        ref_leaves = jax.tree_util.tree_leaves_with_path(ref_mut["batch_stats"])
+        got_leaves = dict(jax.tree_util.tree_leaves_with_path(new_stats))
+        assert len(ref_leaves) == len(got_leaves)
+        for path, leaf in ref_leaves:
+            np.testing.assert_allclose(
+                np.asarray(got_leaves[path]), np.asarray(leaf), rtol=2e-4, atol=2e-4,
+                err_msg=str(path),
+            )
+
+    def test_stem_grads_chain_exactly(self):
+        """d(loss)/d(stem kernel) through the s2d re-binning == through the module
+        (the re-binning is linear, so grads must match to float tolerance)."""
+        enc, v = self._enc()
+        x = jax.random.normal(jax.random.PRNGKey(7), (2, 32, 32, 3))
+
+        def loss_mod(k):
+            vv = jax.tree_util.tree_map(lambda a: a, v)
+            p = dict(vv["params"])
+            p["stem"] = {**p["stem"], "conv": {"kernel": k}}
+            out = enc.apply({**vv, "params": p}, x, train=False)
+            return sum((o * o).mean() for o in out[1:])
+
+        def loss_fast(k):
+            p = dict(v["params"])
+            p["stem"] = {**p["stem"], "conv": {"kernel": k}}
+            out = fast_encoder_apply(p, v["batch_stats"], x, jnp.float32)
+            return sum((o * o).mean() for o in out)
+
+        k0 = v["params"]["stem"]["conv"]["kernel"]
+        g_mod = jax.grad(loss_mod)(k0)
+        g_fast = jax.grad(loss_fast)(k0)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_mod), rtol=5e-3, atol=5e-4)
 
 
 class TestFastApplyParity:

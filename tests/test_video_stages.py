@@ -228,9 +228,12 @@ def test_fa_step_remat_blocks_matches_full_remat():
     from ted_spad_tpu.models.resnet2d import ResNet2D
 
     enc = ResNet2D(block="basic", layers=(2, 2, 2, 2), depth=4, dtype=jnp.float32)
+    # encoder_module=None = the inline fast encoder (s2d stem) — the production
+    # path; `enc` stays as the non-standard-layout fallback (unused here).
+    del enc
     jaxpr = str(
         jax.make_jaxpr(
-            lambda v, x: fast_unetpp_train_apply(v, x, encoder_module=enc, dtype=jnp.float32)
+            lambda v, x: fast_unetpp_train_apply(v, x, encoder_module=None, dtype=jnp.float32)
         )(fa_vars, jnp.zeros((2, 32, 32, 3)))
     )
     for name in TRAIN_REMAT_SAVE_NAMES:
