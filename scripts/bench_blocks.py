@@ -101,7 +101,9 @@ def main() -> None:
         ).astype(jnp.float32)
 
     def seg_fa_enc_stem(x):
-        y = fu._stem_s2d_conv(p_enc["stem"], x, dtype)
+        # Production stem form ("plain" — the s2d re-binning measured SLOWER for
+        # this 2D shape: 1.05 vs 0.60 ms, recorded negative result in fast_unetpp).
+        y = fu._stem_conv(p_enc["stem"], x, dtype)
         sc, bi = fu._bn_affine(p_enc["stem"]["bn"], st_enc["stem"]["bn"])
         return jax.nn.relu(y * sc.astype(dtype) + bi.astype(dtype))
 

@@ -1,0 +1,110 @@
+"""Doc-vs-artifact consistency checker (VERDICT r4 weak #1 / next #4).
+
+Round 3's lesson was "the contract is the artifact"; rounds 3 and 4 both shipped
+prose numbers that contradicted the committed artifacts (ROADMAP's "val top-1
+0.25" vs the log's acc 0.0000; "YUV +8%" vs +0.6-4% in the records). This script
+enforces the rule mechanically: every headline number quoted in ROADMAP.md /
+COMPONENTS.md must appear VERBATIM in the artifact it cites. Wired into the fast
+test suite (tests/test_scripts_cli.py) so a drifting doc fails CI.
+
+Each check: (doc file, artifact file, value extractor, format) — the formatted
+artifact value must be a substring of the doc. Add a check whenever a doc gains
+a number quoted from an artifact.
+
+Usage: ``python scripts/check_docs.py`` (exit 1 + report on any mismatch).
+"""
+
+import json
+import os as _os
+import re
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+
+def _detail(path: str) -> dict:
+    with open(_os.path.join(ROOT, path)) as f:
+        rec = json.load(f)
+    if "parsed" in rec:  # driver-shape artifact (cmd/rc/tail/parsed)
+        rec = rec["parsed"]
+    return rec.get("detail", rec)
+
+
+def _log_match(path: str, pattern: str) -> str:
+    with open(_os.path.join(ROOT, path)) as f:
+        text = f.read()
+    m = re.search(pattern, text)
+    if not m:
+        raise AssertionError(f"{path}: pattern {pattern!r} not found")
+    return m.group(1)
+
+
+def checks() -> list[tuple[str, str, str]]:
+    """Returns (doc, required substring, provenance) triples."""
+    out: list[tuple[str, str, str]] = []
+    full = "hw_checklist/bench_r4_full_record.json"
+    if _os.path.exists(_os.path.join(ROOT, full)):
+        d = _detail(full)
+        for doc in ("ROADMAP.md", "COMPONENTS.md"):
+            out += [
+                (doc, f"{d['decode_240p_clips_per_sec']:.2f}", f"{full}#decode_240p_clips_per_sec"),
+                (doc, f"{d['decode_yuv_240p_clips_per_sec']:.2f}", f"{full}#decode_yuv_240p_clips_per_sec"),
+                (doc, f"{d['decode_fast_clips_per_sec']:.2f}", f"{full}#decode_fast_clips_per_sec"),
+            ]
+        out.append(("ROADMAP.md", f"{d['decode_clips_per_sec']:.2f}", f"{full}#decode_clips_per_sec"))
+    bench = "BENCH_r04.json"
+    if _os.path.exists(_os.path.join(ROOT, bench)):
+        d = _detail(bench)
+        out += [
+            ("ROADMAP.md", f"{d['decode_240p_clips_per_sec']:.2f}", f"{bench}#decode_240p_clips_per_sec"),
+            ("ROADMAP.md", f"{d['h2d_MB_per_sec']:.1f}", f"{bench}#h2d_MB_per_sec"),
+        ]
+    log = "hw_checklist/validate_adversarial_reference_r4.log"
+    if _os.path.exists(_os.path.join(ROOT, log)):
+        raw = _log_match(log, r"privacy cMAP raw:\s+([0-9.]+)")
+        anon = _log_match(log, r"privacy cMAP anonymized:\s+([0-9.]+)")
+        out += [
+            ("ROADMAP.md", raw, f"{log}#cMAP_raw"),
+            ("ROADMAP.md", anon, f"{log}#cMAP_anonymized"),
+        ]
+    # Round-5 artifacts, when they exist, replace the r4 claims in the docs.
+    log5 = "hw_checklist/validate_adversarial_reference_r5.log"
+    if _os.path.exists(_os.path.join(ROOT, log5)):
+        raw = _log_match(log5, r"privacy cMAP raw:\s+([0-9.]+)")
+        anon = _log_match(log5, r"privacy cMAP anonymized:\s+([0-9.]+)")
+        out += [
+            ("ROADMAP.md", raw, f"{log5}#cMAP_raw"),
+            ("ROADMAP.md", anon, f"{log5}#cMAP_anonymized"),
+        ]
+    anat = "hw_checklist/block_anatomy.json"
+    if _os.path.exists(_os.path.join(ROOT, anat)):
+        with open(_os.path.join(ROOT, anat)) as f:
+            a = json.load(f)
+        out.append(("ROADMAP.md", f"{a['mfu_ceiling_computed']:.4f}", f"{anat}#mfu_ceiling_computed"))
+        out.append(("ROADMAP.md", f"{a['blocks']['fa_decoder']['ms']:.2f}", f"{anat}#blocks.fa_decoder.ms"))
+        out.append(("ROADMAP.md", f"{a['unattributed_ms']:.2f}", f"{anat}#unattributed_ms"))
+    return out
+
+
+def main() -> int:
+    docs: dict[str, str] = {}
+    failures = []
+    for doc, needle, provenance in checks():
+        if doc not in docs:
+            with open(_os.path.join(ROOT, doc)) as f:
+                docs[doc] = f.read()
+        # Number-boundary match: "0.53" must not be satisfied by "10.53".
+        if not re.search(r"(?<![0-9.])" + re.escape(needle) + r"(?![0-9])", docs[doc]):
+            failures.append(f"{doc}: missing verbatim value {needle!r} from {provenance}")
+    if failures:
+        print("\n".join(failures))
+        print(f"\n{len(failures)} doc/artifact mismatches — docs must quote artifacts verbatim")
+        return 1
+    print(f"check_docs OK: {len(checks())} quoted values match their artifacts")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

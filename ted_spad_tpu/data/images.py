@@ -87,15 +87,44 @@ class VisprImageSource:
         return np.stack(imgs), labels
 
 
+# One saturated, mutually-distinct color per privacy attribute (style="attrs").
+_ATTR_COLORS = np.array(
+    [
+        [255, 32, 32], [32, 255, 32], [32, 96, 255], [255, 255, 32],
+        [255, 32, 255], [32, 255, 255], [255, 144, 32],
+    ],
+    np.uint8,
+)
+
+
 class SyntheticImageSource:
     """Deterministic procedural images + multi-hot labels — the in-memory stand-in that
-    lets every image stage run end-to-end without VISPR on disk (SURVEY.md §4)."""
+    lets every image stage run end-to-end without VISPR on disk (SURVEY.md §4).
 
-    def __init__(self, n: int = 256, num_pa: int = 7, seed: int = 0, canonical: int = CANONICAL):
+    ``style``:
+      - ``"stripes"`` (default): label-correlated stripe frequencies — 2 of the 7
+        attributes visually encoded; kept for existing tests/fixtures.
+      - ``"attrs"``: EVERY attribute visually encoded as a colored patch (distinct
+        color + position per attribute, present iff the label bit is set) over a
+        per-image smooth random background. Purpose: adversarial-dynamics
+        validation (scripts/validate_adversarial.py) — a raw privacy attacker can
+        reach high cMAP, and an anonymizer that destroys the image's distinctive
+        content (what NT-Xent maximization pushes fa toward,
+        train_anonymizer.py:119-123) erases exactly the attribute evidence, so the
+        paper's cMAP-reduction claim (README.md:11) is observable on synthetic
+        data. The per-image background is the identity signal NT-Xent's attacker
+        matches views with.
+    """
+
+    def __init__(
+        self, n: int = 256, num_pa: int = 7, seed: int = 0, canonical: int = CANONICAL,
+        style: str = "stripes",
+    ):
         self.n = n
         self.num_pa = num_pa
         self.seed = seed
         self.canonical = canonical
+        self.style = style
         rng = np.random.default_rng(seed)
         self._labels = (rng.random((n, num_pa)) < 0.3).astype(np.float32)
 
@@ -103,6 +132,8 @@ class SyntheticImageSource:
         return self.n
 
     def _image(self, i: int) -> np.ndarray:
+        if self.style == "attrs":
+            return self._image_attrs(i)
         s = self.canonical
         yy, xx = np.mgrid[0:s, 0:s]
         k = (self.seed * 131 + i * 17) % 251
@@ -111,6 +142,26 @@ class SyntheticImageSource:
         g = (yy * (1 + int(self._labels[i, 0])) + k) % 256
         b = ((xx + yy) // 2 + int(self._labels[i, 1 % self.num_pa]) * 100) % 256
         return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+    def _image_attrs(self, i: int) -> np.ndarray:
+        s = self.canonical
+        rng = np.random.default_rng((self.seed + 1) * 100003 + i)
+        # Smooth random background: per-image identity texture for the SSL pair.
+        cell = max(s // 4, 1)
+        reps = -(-s // cell)
+        bg = rng.integers(32, 224, (reps, reps, 3))
+        img = np.kron(bg, np.ones((cell, cell, 1))).astype(np.uint8)[:s, :s]
+        ps = max(s // 4, 4)  # patch survives the 0.6-1.0 random crop + 224 resize
+        for k in range(self.num_pa):
+            if self._labels[i, k] > 0:
+                gy, gx = divmod(k % 9, 3)
+                y0 = int(s * (0.12 + 0.28 * gy))
+                x0 = int(s * (0.12 + 0.28 * gx))
+                c = _ATTR_COLORS[k % len(_ATTR_COLORS)]
+                img[y0 : y0 + ps, x0 : x0 + ps] = c
+                q = ps // 3  # contrasting core: robust to mild color jitter
+                img[y0 + q : y0 + 2 * q, x0 + q : x0 + 2 * q] = 255 - c
+        return img
 
     def get_batch(self, indices: Sequence[int]) -> tuple[np.ndarray, np.ndarray]:
         return np.stack([self._image(int(i) % self.n) for i in indices]), self._labels[

@@ -165,14 +165,18 @@ def _conv_sp(x: Array, w: Array, strides, padding, dtype) -> Array:
 # ---------------------------------------------------------------------------
 #
 # The encoder stem is a 7x7 stride-2 conv with Cin=3 — the same lane-starved
-# shape class as the I3Res50 stem (3 of 128 MXU input lanes). Re-bin the taps
-# onto the 2x2 space-to-depth grid (ops/fast_i3d.py precedent: 11.8 -> 4.1 ms
-# per 256 frames): fine tap k-3 lands at coarse offset floor((k-3)/2), parity
-# (k-3) mod 2 — an exact weight permutation, 12 input lanes, stride 1 on the
-# coarse grid, fine pad (3,3) -> coarse pad (2,1). The rest of the encoder runs
-# inline (eval: folded BN; train: flax-exact batch stats) so both UNet++ fast
-# paths are pure functions over the unchanged param tree.
-# Reference semantics: smp UnetPlusPlus resnet18 encoder (model_loaders.py:18-30).
+# shape class as the I3Res50 stem (3 of 128 MXU input lanes). The 2x2
+# space-to-depth tap re-binning that fixed the 3D stem (ops/fast_i3d.py:
+# 11.8 -> 4.1 ms/256 frames) was tried here and measured SLOWER on v5e:
+# 1.05 ms s2d vs 0.60 ms plain for the 256-frame 224² stem (round 5, isolated,
+# honest device time) — XLA's 2D Cin=3 conv handling is already near its
+# roofline and the input relayout costs more than the lanes buy. RECORDED
+# NEGATIVE RESULT (like pallas_doubleconv): the exact transform + parity tests
+# stay (stem_mode="s2d"), the production default is the plain stride-2 conv.
+# The rest of the encoder runs inline (eval: folded BN; train: flax-exact batch
+# stats) so both UNet++ fast paths are pure functions over the unchanged param
+# tree. Reference semantics: smp UnetPlusPlus resnet18 encoder
+# (model_loaders.py:18-30).
 
 
 def stem2d_s2d_kernel(w: Array) -> Array:
@@ -191,13 +195,17 @@ def stem2d_s2d_kernel(w: Array) -> Array:
     return ws.reshape(4, 4, 4 * cin, cout)
 
 
-def _stem_s2d_conv(p_stem: dict, frames: Array, dtype) -> Array:
-    """The stride-2 7x7 stem conv computed on the space-to-depth layout."""
-    from ted_spad_tpu.ops.fast_i3d import space_to_depth_2x2
+def _stem_conv(p_stem: dict, frames: Array, dtype, mode: str = "plain") -> Array:
+    """The stride-2 7x7 stem conv. mode="plain" (production: measured faster on
+    v5e) or "s2d" (space-to-depth tap re-binning — exact, kept as the recorded
+    negative result + for parts where the trade may flip)."""
+    if mode == "s2d":
+        from ted_spad_tpu.ops.fast_i3d import space_to_depth_2x2
 
-    ws = stem2d_s2d_kernel(p_stem["conv"]["kernel"])
-    xs = space_to_depth_2x2(frames.astype(dtype))
-    return _conv_sp(xs, ws, (1, 1), [(2, 1), (2, 1)], dtype)
+        ws = stem2d_s2d_kernel(p_stem["conv"]["kernel"])
+        xs = space_to_depth_2x2(frames.astype(dtype))
+        return _conv_sp(xs, ws, (1, 1), [(2, 1), (2, 1)], dtype)
+    return _conv_sp(frames, p_stem["conv"]["kernel"], (2, 2), [(3, 3), (3, 3)], dtype)
 
 
 def _resnet_maxpool(x: Array) -> Array:
@@ -233,12 +241,14 @@ def _basic_block_eval(x: Array, p: dict, s: dict, stride: int, dtype) -> Array:
     return jax.nn.relu(y + r)
 
 
-def fast_encoder_apply(p_enc: dict, s_enc: dict, frames: Array, dtype) -> list:
-    """Eval forward of the r18 encoder with the s2d stem. Returns the stage
+def fast_encoder_apply(
+    p_enc: dict, s_enc: dict, frames: Array, dtype, stem_mode: str = "plain"
+) -> list:
+    """Eval forward of the r18 encoder (inline, folded BN). Returns the stage
     feature list [stem(/2,64), layer1(/4,64), layer2(/8,128), layer3(/16,256)]
     == ``ResNet2D.apply(...)[1:]`` (the input itself is never consumed by the
     UNet++ decoder)."""
-    y = _stem_s2d_conv(p_enc["stem"], frames, dtype)
+    y = _stem_conv(p_enc["stem"], frames, dtype, stem_mode)
     sc, bi = _bn_affine(p_enc["stem"]["bn"], s_enc["stem"]["bn"])
     f1 = jax.nn.relu(y * sc.astype(dtype) + bi.astype(dtype))
     x = _resnet_maxpool(f1)
@@ -268,13 +278,15 @@ def _basic_block_train(x: Array, p: dict, s: dict, stride: int, dtype):
     return jax.nn.relu(y + r), new
 
 
-def fast_encoder_train_apply(p_enc: dict, s_enc: dict, frames: Array, dtype):
-    """TRAIN forward of the r18 encoder with the s2d stem: returns
+def fast_encoder_train_apply(
+    p_enc: dict, s_enc: dict, frames: Array, dtype, stem_mode: str = "plain"
+):
+    """TRAIN forward of the r18 encoder: returns
     ``(stage feature list, updated encoder batch_stats subtree)`` matching
-    ``ResNet2D.apply(..., train=True, mutable=["batch_stats"])``. The stem
-    re-binning is linear in the kernel, so gradients chain back to the original
+    ``ResNet2D.apply(..., train=True, mutable=["batch_stats"])``. Both stem
+    modes are linear in the kernel, so gradients chain back to the original
     (7,7,3,64) weights exactly; BN statistics are flax-exact (_convbn_train)."""
-    y = _stem_s2d_conv(p_enc["stem"], frames, dtype)
+    y = _stem_conv(p_enc["stem"], frames, dtype, stem_mode)
     f1, st_stem = _convbn_train(y, p_enc["stem"], s_enc["stem"], dtype)
     new: dict = {"stem": st_stem}
     x = _resnet_maxpool(f1)

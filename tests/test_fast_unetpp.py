@@ -87,20 +87,24 @@ class TestFastEncoderParity:
         assert not encoder_layout_standard({})
         assert not encoder_layout_standard({"stem": {"conv": {"kernel": jnp.zeros((3, 3, 3, 64))}}})
 
-    def test_eval_matches_module(self):
+    @pytest.mark.parametrize("stem_mode", ["plain", "s2d"])
+    def test_eval_matches_module(self, stem_mode):
         enc, v = self._enc()
         x = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 3))
         ref = enc.apply(v, x, train=False)[1:]
-        got = fast_encoder_apply(v["params"], v["batch_stats"], x, jnp.float32)
+        got = fast_encoder_apply(v["params"], v["batch_stats"], x, jnp.float32, stem_mode)
         assert len(got) == len(ref)
         for a, b in zip(got, ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
 
-    def test_train_matches_module(self):
+    @pytest.mark.parametrize("stem_mode", ["plain", "s2d"])
+    def test_train_matches_module(self, stem_mode):
         enc, v = self._enc()
         x = jax.random.normal(jax.random.PRNGKey(6), (3, 32, 32, 3))
         ref, ref_mut = enc.apply(v, x, train=True, mutable=["batch_stats"])
-        got, new_stats = fast_encoder_train_apply(v["params"], v["batch_stats"], x, jnp.float32)
+        got, new_stats = fast_encoder_train_apply(
+            v["params"], v["batch_stats"], x, jnp.float32, stem_mode
+        )
         for a, b in zip(got, ref[1:]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
         ref_leaves = jax.tree_util.tree_leaves_with_path(ref_mut["batch_stats"])
@@ -112,9 +116,10 @@ class TestFastEncoderParity:
                 err_msg=str(path),
             )
 
-    def test_stem_grads_chain_exactly(self):
-        """d(loss)/d(stem kernel) through the s2d re-binning == through the module
-        (the re-binning is linear, so grads must match to float tolerance)."""
+    @pytest.mark.parametrize("stem_mode", ["plain", "s2d"])
+    def test_stem_grads_chain_exactly(self, stem_mode):
+        """d(loss)/d(stem kernel) through the (linear) stem transform == through
+        the module — must match to float tolerance in both modes."""
         enc, v = self._enc()
         x = jax.random.normal(jax.random.PRNGKey(7), (2, 32, 32, 3))
 
@@ -128,7 +133,7 @@ class TestFastEncoderParity:
         def loss_fast(k):
             p = dict(v["params"])
             p["stem"] = {**p["stem"], "conv": {"kernel": k}}
-            out = fast_encoder_apply(p, v["batch_stats"], x, jnp.float32)
+            out = fast_encoder_apply(p, v["batch_stats"], x, jnp.float32, stem_mode)
             return sum((o * o).mean() for o in out)
 
         k0 = v["params"]["stem"]["conv"]["kernel"]

@@ -114,3 +114,57 @@ def test_empty_glob_fails_loudly(tmp_path):
     )
     with pytest.raises(SystemExit, match="matched no files"):
         mod.run(args)
+
+
+def test_serving_compile_cache_stable_across_processes(tmp_path):
+    """The serving cold-start fix (VERDICT r4 #7): scripts/_common.setup_platform
+    enables the persistent compile cache, turning score_video's 434-934 s cold
+    recompile into a 123 s warm run. That number is only durable if the cache KEY
+    for the serving program is stable across processes: a second process building
+    the identical extraction program must add ZERO new cache entries. (The key is
+    source-location sensitive — edits to jitted library code legitimately miss —
+    but two runs of the same source must hit.)"""
+    import subprocess
+    import sys
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    prog = (
+        "import jax, sys\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_compilation_cache_dir', sys.argv[1])\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)\n"
+        "import jax.numpy as jnp\n"
+        "from ted_spad_tpu.config.params import FeatureExtractionParams\n"
+        "from ted_spad_tpu.models import load_fa_model, load_ft_model\n"
+        "from ted_spad_tpu.stages.feature_extraction import make_extract_step\n"
+        "p = FeatureExtractionParams(num_frames=8, reso_h=32, reso_w=32, compute_dtype='float32')\n"
+        "fa = load_fa_model(image_size=(32, 32), dtype='float32', tiny=True)\n"
+        "ftm, ftv = load_ft_model('largei3d', num_classes=4, clip_shape=(8, 32, 32),"
+        " dtype='float32', tiny=True)\n"
+        "ex = make_extract_step(ftm, p, fa=fa)\n"
+        "out = ex(ftv, jnp.zeros((2, 8, 48, 64, 3), jnp.uint8))\n"
+        "print('served', out.shape)\n"
+    )
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+
+    def run_once():
+        r = subprocess.run(
+            [sys.executable, "-c", prog, str(cache)],
+            capture_output=True, text=True, env=env, timeout=600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "served" in r.stdout
+
+    def entries():
+        return sorted(f.name for f in cache.iterdir())
+
+    run_once()
+    first = entries()
+    assert first, "first run populated no cache entries — persistent cache inactive"
+    run_once()
+    assert entries() == first, (
+        "second identical process MISSED the compile cache (new entries appeared) — "
+        "the serving warm path is not durable"
+    )

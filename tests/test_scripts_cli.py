@@ -34,3 +34,15 @@ def test_help_parses(script):
     )
     assert res.returncode == 0, res.stderr[-800:]
     assert "usage" in res.stdout.lower()
+
+
+def test_docs_quote_artifacts_verbatim():
+    """Docs must quote committed artifacts verbatim (rounds 3 AND 4 both shipped
+    prose numbers contradicting the artifacts — VERDICT r4 weak #1). The checker
+    lives in scripts/check_docs.py; add a check there whenever a doc gains an
+    artifact-quoted number."""
+    res = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "check_docs.py")],
+        capture_output=True, text=True, timeout=120, cwd=ROOT,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr[-500:]
