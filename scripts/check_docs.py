@@ -41,6 +41,17 @@ def _log_match(path: str, pattern: str) -> str:
     return m.group(1)
 
 
+def _log_finished(path: str) -> bool:
+    """A validation log is only an artifact once its run completed (rc=0 line) —
+    an in-flight/aborted log must not crash the checker (the suite can run while
+    a validation is still executing on the chip)."""
+    try:
+        with open(_os.path.join(ROOT, path)) as f:
+            return "rc=0" in f.read()
+    except OSError:
+        return False
+
+
 def checks() -> list[tuple[str, str, str]]:
     """Returns (doc, required substring, provenance) triples."""
     out: list[tuple[str, str, str]] = []
@@ -62,7 +73,7 @@ def checks() -> list[tuple[str, str, str]]:
             ("ROADMAP.md", f"{d['h2d_MB_per_sec']:.1f}", f"{bench}#h2d_MB_per_sec"),
         ]
     log = "hw_checklist/validate_adversarial_reference_r4.log"
-    if _os.path.exists(_os.path.join(ROOT, log)):
+    if _log_finished(log):
         raw = _log_match(log, r"privacy cMAP raw:\s+([0-9.]+)")
         anon = _log_match(log, r"privacy cMAP anonymized:\s+([0-9.]+)")
         out += [
@@ -71,7 +82,7 @@ def checks() -> list[tuple[str, str, str]]:
         ]
     # Round-5 artifacts, when they exist, replace the r4 claims in the docs.
     log5 = "hw_checklist/validate_adversarial_reference_r5.log"
-    if _os.path.exists(_os.path.join(ROOT, log5)):
+    if _log_finished(log5):
         raw = _log_match(log5, r"privacy cMAP raw:\s+([0-9.]+)")
         anon = _log_match(log5, r"privacy cMAP anonymized:\s+([0-9.]+)")
         out += [
