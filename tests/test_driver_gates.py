@@ -98,3 +98,49 @@ def test_dryrun_multichip_rehearsal_under_driver_timeout():
     combined = proc.stdout + proc.stderr
     for required in ("dryrun_multichip OK", "extraction parity OK", "MGFN parity OK"):
         assert required in combined, f"missing {required!r}; stdout: {proc.stdout[-800:]}"
+
+
+def test_bench_block_anatomy_loader():
+    """The computed-ceiling path only engages when the committed anatomy matches
+    this device generation AND batch; anything else falls back to the estimate
+    (a stale artifact from another part/batch must never relabel the ceiling)."""
+    import importlib
+
+    import bench
+
+    importlib.reload(bench)
+    rec = bench._load_block_anatomy("tpu v5 lite", 16)
+    if rec is not None:  # artifact committed (hw_checklist/block_anatomy.json)
+        assert rec["mfu_ceiling_computed"] > 0
+        assert rec["blocks"] and all("ms" in b for b in rec["blocks"].values())
+        assert abs(sum(b["ms"] for b in rec["blocks"].values()) - rec["sum_blocks_ms"]) < 0.01
+    # Mismatches -> None (fallback to estimate), never an exception.
+    assert bench._load_block_anatomy("tpu v5 lite", 2) is None
+    assert bench._load_block_anatomy("tpu v99", 16) is None
+
+
+def test_bench_emit_snapshot_is_thread_safe():
+    """emit() serializes a SNAPSHOT: a detail dict that mutates mid-emit must not
+    suppress the record (ADVICE r4 — the watchdog emits from a timer thread)."""
+    import importlib
+    import threading
+
+    import bench
+
+    importlib.reload(bench)
+    bench.RESULT["value"] = 1.0
+    stop = threading.Event()
+
+    def churn():
+        i = 0
+        while not stop.is_set():
+            bench.DETAIL[f"k{i % 64}"] = i
+            i += 1
+
+    t = threading.Thread(target=churn, daemon=True)
+    t.start()
+    try:
+        assert bench.emit() is True  # must not raise 'dict changed size'
+    finally:
+        stop.set()
+        t.join(timeout=5)
