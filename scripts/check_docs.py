@@ -89,6 +89,14 @@ def checks() -> list[tuple[str, str, str]]:
             ("ROADMAP.md", raw, f"{log5}#cMAP_raw"),
             ("ROADMAP.md", anon, f"{log5}#cMAP_anonymized"),
         ]
+    t2d = "hw_checklist/exp_ft_stem_t2d_r5.log"
+    if _log_finished(t2d):
+        cur = _log_match(t2d, r"current_122:\s+([0-9.]+) ms")
+        rebin = _log_match(t2d, r"t2d_222:\s+([0-9.]+) ms")
+        out += [
+            ("ROADMAP.md", cur, f"{t2d}#current_122_ms"),
+            ("ROADMAP.md", rebin, f"{t2d}#t2d_222_ms"),
+        ]
     anat = "hw_checklist/block_anatomy.json"
     if _os.path.exists(_os.path.join(ROOT, anat)):
         with open(_os.path.join(ROOT, anat)) as f:
