@@ -363,6 +363,51 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             DETAIL["b32_error"] = repr(e)
 
+    # === Opt-in int8 W8A8 serving mode (ops/quant_unetpp.py) =======================
+    # The same fused extraction program with fa's convs on the int8 MXU path
+    # (394 TOPS vs 197 TFLOP/s bf16 on v5e), activation scales calibrated on this
+    # run's own clips. Recorded as DETAIL (not the headline): it changes numerics
+    # at int8 resolution, so it ships with its feature-level fidelity vs the bf16
+    # path on the same clips. extraction --quant int8 is the user-facing switch.
+    if section("quant_int8", 240):
+        try:
+            from ted_spad_tpu.ops.quant_unetpp import act_scales_from_absmax
+            from ted_spad_tpu.stages.feature_extraction import make_fa_calibration_step
+
+            calib = make_fa_calibration_step(p, fa_model)
+            stats = calib(fa_vars, clips_dev)
+            scales = act_scales_from_absmax({k: float(v) for k, v in stats.items()})
+            extract_q = make_extract_step(
+                ft_model, p, fa=(fa_model, fa_vars), quant_act_scales=scales
+            )
+            ms_q = device_ms_per_call(
+                lambda c: extract_q(ft_vars, c), (clips_dev,), iters=iters_fused
+            )
+            rate_q = batch / (ms_q / 1e3)
+            DETAIL["quant_int8_clips_per_sec"] = round(rate_q, 3)
+            DETAIL["quant_int8_ms_per_batch"] = round(ms_q, 3)
+            DETAIL["quant_int8_vs_baseline"] = round(rate_q / max(ref_rate, 1e-9), 3)
+            DETAIL["quant_int8_comparator"] = "batched_fused_clips_per_sec (b16 bf16)"
+            fq = np.asarray(extract_q(ft_vars, clips_dev))
+            fr = np.asarray(extract(ft_vars, clips_dev))
+            fq2, fr2 = fq.reshape(-1, fq.shape[-1]), fr.reshape(-1, fq.shape[-1])
+            cos = float(
+                np.mean(
+                    (fq2 * fr2).sum(-1)
+                    / np.maximum(
+                        np.linalg.norm(fq2, axis=-1) * np.linalg.norm(fr2, axis=-1), 1e-12
+                    )
+                )
+            )
+            DETAIL["quant_int8_feature_cossim_vs_bf16"] = round(cos, 5)
+            note(
+                f"quant int8: {rate_q:.1f} clips/s ({ms_q:.1f} ms/batch, "
+                f"{rate_q / fused:.2f}x bf16), feature cossim {cos:.5f}"
+            )
+            del extract_q, fq, fr, fq2, fr2
+        except Exception as e:  # noqa: BLE001
+            DETAIL["quant_int8_error"] = repr(e)
+
     # === Adversarial training steps at reference shape =============================
     # fa update + fused fb/ft update (train_anonymizer.py:32-197) at B=4 videos x 3
     # views x 16 frames @ 224² bf16, VISPR pair batch 6 (half of B=8's 12).

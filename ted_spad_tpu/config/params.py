@@ -276,6 +276,15 @@ class FeatureExtractionParams(StageParams):
     # (the layout of the published MGFN feature releases). Features become
     # (num_clips, ncrops, 2048) per video; ~ncrops x the device compute per clip.
     ncrops: int = 1
+    # Opt-in W8A8 int8 serving mode for the fa anonymizer (ops/quant_unetpp.py):
+    # 'none' (default, bf16) | 'int8'. Calibrates activation scales on the first
+    # ``quant_calib_batches`` batches of the run, then extracts with int8 MXU convs
+    # (~1.6-1.8x the bf16 conv rate on v5e). Changes numerics at int8 resolution;
+    # with ``quant_fidelity_check`` the driver measures feature cosine similarity
+    # vs the bf16 path on the calibration batch and logs/returns it.
+    quant: str = "none"
+    quant_calib_batches: int = 2
+    quant_fidelity_check: bool = True
     # DALI-equivalent windowing (dali_extraction.py:72-73): 16 frames, stride 2, step 32.
     @property
     def clip_stride(self) -> int:

@@ -343,7 +343,7 @@ def _pad_to(y: Array, target_shape) -> Array:
     return jnp.pad(y, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
 
 
-def _decoder_schedule(p: dict, f: list, dtype, block) -> Array:
+def _decoder_schedule(p: dict, f: list, dtype, block, conv=None) -> Array:
     """The UNet++ nested-skip decoder with multi-consumer skip convs batched along
     Cout so each runs with full MXU lanes: f[2] feeds x_1_1 + x_0_1, f[3] feeds
     x_2_2 + x_1_2 + x_0_2, and x_2_2 feeds x_1_2 + x_0_2. Channel slices follow the
@@ -351,19 +351,27 @@ def _decoder_schedule(p: dict, f: list, dtype, block) -> Array:
 
     ``block(name, xin, skip_sum)`` runs one decoder block given the precomputed
     conv1 skip contribution — eval and train paths plug in their BN flavor.
+    ``conv(site, x, w)`` runs one skip conv (default: plain bf16 ``_conv``); the
+    quantized path (ops/quant_unetpp.py) plugs in an int8 executor, with ``x``
+    then being its (int8 data, scale) activation record. Skip conv OUTPUTS are
+    always plain ``dtype`` tensors (the schedule slices and sums them).
     Returns x_0_3 (full-res, pre-head).
     """
+    if conv is None:
+        def conv(site, x, w):
+            return _conv(x, w, dtype)
 
     def w1(name):
         return p[name]["conv1"]["conv"]["kernel"]
 
-    x_0_0 = block("x_0_0", f[0], _conv(f[1], w1("x_0_0")[:, :, 256:384, :], dtype))
-    f2c = _conv(
+    x_0_0 = block("x_0_0", f[0], conv("sk_f1", f[1], w1("x_0_0")[:, :, 256:384, :]))
+    f2c = conv(
+        "sk_f2",
         f[2],
         jnp.concatenate([w1("x_1_1")[:, :, 128:192, :], w1("x_0_1")[:, :, 320:384, :]], axis=-1),
-        dtype,
     )  # (.., 64+128)
-    f3c = _conv(
+    f3c = conv(
+        "sk_f3",
         f[3],
         jnp.concatenate(
             [
@@ -373,21 +381,22 @@ def _decoder_schedule(p: dict, f: list, dtype, block) -> Array:
             ],
             axis=-1,
         ),
-        dtype,
     )  # (.., 64*3)
     x_1_1 = block("x_1_1", f[1], f2c[..., :64])
     x_2_2 = block("x_2_2", f[2], f3c[..., :64])
-    x22c = _conv(
+    x22c = conv(
+        "sk_x22",
         x_2_2,
         jnp.concatenate([w1("x_1_2")[:, :, 64:128, :], w1("x_0_2")[:, :, 192:256, :]], axis=-1),
-        dtype,
     )  # (.., 64+64)
-    x_0_1 = block("x_0_1", x_0_0, _conv(x_1_1, w1("x_0_1")[:, :, 256:320, :], dtype) + f2c[..., 64:192])
+    x_0_1 = block(
+        "x_0_1", x_0_0, conv("sk_x11", x_1_1, w1("x_0_1")[:, :, 256:320, :]) + f2c[..., 64:192]
+    )
     x_1_2 = block("x_1_2", x_1_1, x22c[..., :64] + f3c[..., 64:128])
     x_0_2 = block(
         "x_0_2",
         x_0_1,
-        _conv(x_1_2, w1("x_0_2")[:, :, 128:192, :], dtype)
+        conv("sk_x12", x_1_2, w1("x_0_2")[:, :, 128:192, :])
         + x22c[..., 64:128]
         + f3c[..., 128:192],
     )
@@ -421,6 +430,28 @@ def head_s2d_kernel(w: Array) -> Array:
     return ws.reshape(4, 4, cin, 4 * cout)
 
 
+def _apply_head(p_head: dict, x_0_3: Array, in_h: int, in_w: int, dtype,
+                emit_s2d: bool) -> Array:
+    """Pad x_0_3 back to the input resolution and apply the segmentation head:
+    plain 3x3 conv -> float32 output, or the stride-2 s2d-fused form
+    (``head_s2d_kernel``) emitting the I3Res50 fast stem's (N,H/2,W/2,4*Cout)
+    layout. Shared by the bf16 fused paths and the int8 quantized path
+    (ops/quant_unetpp.py) — the head itself always runs in ``dtype``."""
+    if x_0_3.shape[-3:-1] != (in_h, in_w):
+        dh, dw = in_h - x_0_3.shape[-3], in_w - x_0_3.shape[-2]
+        x_0_3 = jnp.pad(x_0_3, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
+    if emit_s2d:
+        ws = head_s2d_kernel(p_head["kernel"])
+        y = jax.lax.conv_general_dilated(
+            x_0_3.astype(dtype), ws.astype(dtype), (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dtype,
+        )
+        return y + jnp.tile(p_head["bias"], 4).astype(dtype)
+    out = _conv(x_0_3, p_head["kernel"], dtype) + p_head["bias"].astype(dtype)
+    return out.astype(jnp.float32)
+
+
 def fast_unetpp_apply(
     variables: dict, frames: Array, *, encoder_apply=None, dtype=jnp.bfloat16,
     emit_s2d: bool = False
@@ -447,21 +478,7 @@ def fast_unetpp_apply(
         return _up_block_parts(xin, skip_sum, p[name], st[name], dtype)
 
     x_0_3 = _decoder_schedule(p, f, dtype, blk)
-    if x_0_3.shape[-3:-1] != (in_h, in_w):
-        dh, dw = in_h - x_0_3.shape[-3], in_w - x_0_3.shape[-2]
-        x_0_3 = jnp.pad(x_0_3, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
-
-    if emit_s2d:
-        ws = head_s2d_kernel(p["head"]["kernel"])
-        y = jax.lax.conv_general_dilated(
-            x_0_3.astype(dtype), ws.astype(dtype), (2, 2), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=dtype,
-        )
-        return y + jnp.tile(p["head"]["bias"], 4).astype(dtype)
-
-    out = _conv(x_0_3, p["head"]["kernel"], dtype) + p["head"]["bias"].astype(dtype)
-    return out.astype(jnp.float32)
+    return _apply_head(p["head"], x_0_3, in_h, in_w, dtype, emit_s2d)
 
 
 def _convbn_train(y: Array, p: dict, s: dict, dtype, *, relu: bool = True):
@@ -535,11 +552,8 @@ def fast_unetpp_train_apply(
         return checkpoint_name(y, "fa_blk_" + name)
 
     x_0_3 = _decoder_schedule(p, f, dtype, blk)
-    if x_0_3.shape[-3:-1] != (in_h, in_w):
-        dh, dw = in_h - x_0_3.shape[-3], in_w - x_0_3.shape[-2]
-        x_0_3 = jnp.pad(x_0_3, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
-    out = _conv(x_0_3, p["head"]["kernel"], dtype) + p["head"]["bias"].astype(dtype)
-    return out.astype(jnp.float32), {"batch_stats": new_stats}
+    out = _apply_head(p["head"], x_0_3, in_h, in_w, dtype, emit_s2d=False)
+    return out, {"batch_stats": new_stats}
 
 
 def make_fast_fa_apply(fa_model, fa_vars):

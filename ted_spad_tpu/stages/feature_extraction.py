@@ -197,9 +197,95 @@ def iter_clip_batches(
         pool.shutdown(wait=False, cancel_futures=True)
 
 
+def _make_preprocess(p: FeatureExtractionParams, use_pallas: bool, yuv: bool,
+                     yuv_hw: tuple[int, int]) -> Callable:
+    """The device preprocess (uint8 clips -> normalized f32 frames), shared by the
+    fused extract step and the quantization calibration step so the calibrated fa
+    sees byte-identical inputs to the serving program. Selection mirrors the
+    reference's val transform (dali_extraction.py:38-50) + this repo's ingest modes."""
+
+    def preprocess(clips_u8):
+        if yuv:
+            from ted_spad_tpu.ops.yuv import fused_preprocess_yuv
+
+            h, w = yuv_hw
+            b, t = clips_u8.shape[0], clips_u8.shape[1]
+            yb, cb = h * w, (h // 2) * (w // 2)
+            # Two packed layouts (static shape -> trace-time branch): yb+2*cb plain
+            # planes (BT.601 limited only), or +1 trailing tag byte per row — a
+            # bitmask (bit 0 = BT.709 matrix, bit 1 = full range) selecting the
+            # conversion coefficients per clip on device.
+            if clips_u8.shape[-1] == yb + 2 * cb:
+                bt709 = full_rows = None
+            elif clips_u8.shape[-1] == yb + 2 * cb + 1:
+                tag = clips_u8[:, 0, -1]
+                bt709 = (tag & 1) > 0  # (B,) per-clip flags
+                full_rows = (tag & 2) > 0
+            else:
+                raise ValueError(
+                    f"packed yuv row is {clips_u8.shape[-1]} bytes; expected "
+                    f"{yb + 2 * cb} (plain) or {yb + 2 * cb + 1} (+tag byte) for {yuv_hw}"
+                )
+            y_u8 = clips_u8[..., :yb].reshape(b, t, h, w)
+            u_u8 = clips_u8[..., yb : yb + cb].reshape(b, t, h // 2, w // 2)
+            v_u8 = clips_u8[..., yb + cb : yb + 2 * cb].reshape(b, t, h // 2, w // 2)
+            return fused_preprocess_yuv(
+                y_u8, u_u8, v_u8, out_h=p.reso_h, out_w=p.reso_w,
+                cropping_factor=p.cropping_factor,
+                out_dtype=jnp.dtype(p.compute_dtype),
+                bt709=bt709, full=full_rows,
+            ).astype(jnp.float32)
+        if use_pallas and not p.no_ar_distortion:
+            from ted_spad_tpu.ops.pallas_preprocess import fused_preprocess
+
+            return fused_preprocess(
+                clips_u8, out_h=p.reso_h, out_w=p.reso_w,
+                cropping_factor=p.cropping_factor,
+                out_dtype=jnp.dtype(p.compute_dtype),
+            ).astype(jnp.float32)
+        if p.ncrops > 1:
+            # TTA fan-out: (B, T, H, W, 3) -> (B, ncrops, T, reso, reso, 3); the crop
+            # axis rides as a leading dim through fa and is folded into batch for ft.
+            return multi_crop_resize(
+                clips_u8, p.cropping_factor, p.reso_h, p.reso_w, p.ncrops
+            ).astype(jnp.float32)
+        img = clips_u8.astype(jnp.float32) / 255.0
+        return center_crop_resize(img, p.cropping_factor, p.reso_h, p.reso_w,
+                                  no_ar_distortion=p.no_ar_distortion)
+
+    return preprocess
+
+
+def make_fa_calibration_step(
+    p: FeatureExtractionParams, fa_model, use_pallas: bool | None = None,
+    yuv: bool = False, yuv_hw: tuple[int, int] = (240, 320),
+) -> Callable:
+    """One jitted program: the extraction preprocess + the quantization calibration
+    forward (ops/quant_unetpp.calibrate_unetpp). ``(fa_vars, clips_u8) -> {site:
+    absmax f32 scalar}`` — callers max-reduce across batches and feed
+    ``act_scales_from_absmax`` to build the int8 serving scales."""
+    from ted_spad_tpu.ops.quant_unetpp import calibrate_unetpp
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if p.ncrops > 1:
+        use_pallas = False
+    preprocess = _make_preprocess(p, use_pallas, yuv, yuv_hw)
+
+    @jax.jit
+    def calib(fa_vars, clips_u8):
+        img = preprocess(clips_u8)
+        frames = img.reshape((-1,) + img.shape[-3:])
+        _, stats = calibrate_unetpp(fa_vars, frames, dtype=fa_model.dtype)
+        return stats
+
+    return calib
+
+
 def make_extract_step(
     ft_model, p: FeatureExtractionParams, fa=None, use_pallas: bool | None = None, mesh=None,
     yuv: bool = False, yuv_hw: tuple[int, int] = (240, 320),
+    quant_act_scales: dict[str, float] | None = None,
 ) -> Callable:
     """One fused program: /255 + center-crop + resize + (frozen fa) + ft features.
 
@@ -212,7 +298,10 @@ def make_extract_step(
     byte is a bitmask selecting the conversion per clip row: bit 0 = BT.709 matrix
     (clear = BT.601), bit 1 = full-range transfer (clear = limited/studio).
     ``mesh``: a 1-D ``jax.sharding.Mesh`` to shard the clip batch over local chips
-    (params replicated) — the DataParallel replacement (dali_extraction.py:128-133)."""
+    (params replicated) — the DataParallel replacement (dali_extraction.py:128-133).
+    ``quant_act_scales``: calibrated per-site activation scales (from
+    ``make_fa_calibration_step`` + ``act_scales_from_absmax``) — switches fa to the
+    opt-in int8 W8A8 serving path (ops/quant_unetpp.py)."""
     if yuv and p.no_ar_distortion:
         # Guarded here (not only in extract_features) so direct callers — bench.py,
         # tests — cannot silently get aspect-distorted output from the yuv branch.
@@ -245,59 +334,14 @@ def make_extract_step(
             out_shardings=NamedSharding(mesh, P(axis)),
         )
 
+    preprocess = _make_preprocess(p, use_pallas, yuv, yuv_hw)
+
     # fa variables are a jit ARGUMENT (not a closure capture): captured arrays would
     # be baked into the jaxpr/executable as constants — slower traces, a duplicate
     # copy of the whole fa checkpoint in device memory, and no sharding control.
     @functools.partial(jax.jit, **shardings)
     def extract(ft_vars, fa_vars_in, clips_u8):
-        if yuv:
-            from ted_spad_tpu.ops.yuv import fused_preprocess_yuv
-
-            h, w = yuv_hw
-            b, t = clips_u8.shape[0], clips_u8.shape[1]
-            yb, cb = h * w, (h // 2) * (w // 2)
-            # Two packed layouts (static shape -> trace-time branch): yb+2*cb plain
-            # planes (BT.601 limited only), or +1 trailing tag byte per row — a
-            # bitmask (bit 0 = BT.709 matrix, bit 1 = full range) selecting the
-            # conversion coefficients per clip on device.
-            if clips_u8.shape[-1] == yb + 2 * cb:
-                bt709 = full_rows = None
-            elif clips_u8.shape[-1] == yb + 2 * cb + 1:
-                tag = clips_u8[:, 0, -1]
-                bt709 = (tag & 1) > 0  # (B,) per-clip flags
-                full_rows = (tag & 2) > 0
-            else:
-                raise ValueError(
-                    f"packed yuv row is {clips_u8.shape[-1]} bytes; expected "
-                    f"{yb + 2 * cb} (plain) or {yb + 2 * cb + 1} (+tag byte) for {yuv_hw}"
-                )
-            y_u8 = clips_u8[..., :yb].reshape(b, t, h, w)
-            u_u8 = clips_u8[..., yb : yb + cb].reshape(b, t, h // 2, w // 2)
-            v_u8 = clips_u8[..., yb + cb : yb + 2 * cb].reshape(b, t, h // 2, w // 2)
-            img = fused_preprocess_yuv(
-                y_u8, u_u8, v_u8, out_h=p.reso_h, out_w=p.reso_w,
-                cropping_factor=p.cropping_factor,
-                out_dtype=jnp.dtype(p.compute_dtype),
-                bt709=bt709, full=full_rows,
-            ).astype(jnp.float32)
-        elif use_pallas and not p.no_ar_distortion:
-            from ted_spad_tpu.ops.pallas_preprocess import fused_preprocess
-
-            img = fused_preprocess(
-                clips_u8, out_h=p.reso_h, out_w=p.reso_w,
-                cropping_factor=p.cropping_factor,
-                out_dtype=jnp.dtype(p.compute_dtype),
-            ).astype(jnp.float32)
-        elif p.ncrops > 1:
-            # TTA fan-out: (B, T, H, W, 3) -> (B, ncrops, T, reso, reso, 3); the crop
-            # axis rides as a leading dim through fa and is folded into batch for ft.
-            img = multi_crop_resize(
-                clips_u8, p.cropping_factor, p.reso_h, p.reso_w, p.ncrops
-            ).astype(jnp.float32)
-        else:
-            img = clips_u8.astype(jnp.float32) / 255.0
-            img = center_crop_resize(img, p.cropping_factor, p.reso_h, p.reso_w,
-                                     no_ar_distortion=p.no_ar_distortion)
+        img = preprocess(clips_u8)
 
         def run_ft(x, **kw):
             # Flatten any TTA crop axis into ft's batch, then restore it on the
@@ -337,12 +381,19 @@ def make_extract_step(
 
     fa_apply, fa_vars_c = None, None
     if fa is not None:
-        from ted_spad_tpu.ops.fast_unetpp import make_fast_fa_apply
-
         fa_model, fa_vars_c = fa
-        # Fused UNet++ decoder (up2+conv folded into lhs-dilated convs) — ~1.5x fa
-        # speedup on v5e; exact module fallback for other archs / odd sizes.
-        fa_apply = make_fast_fa_apply(fa_model, fa_vars_c)
+        if quant_act_scales is not None:
+            # Opt-in W8A8 int8 serving path (ops/quant_unetpp.py) with scales from
+            # make_fa_calibration_step — int8 MXU convs at ~1.6-1.8x the bf16 rate.
+            from ted_spad_tpu.ops.quant_unetpp import make_quant_fa_apply
+
+            fa_apply = make_quant_fa_apply(fa_model, fa_vars_c, quant_act_scales)
+        else:
+            from ted_spad_tpu.ops.fast_unetpp import make_fast_fa_apply
+
+            # Fused UNet++ decoder (up2+conv folded into lhs-dilated convs) — ~1.5x fa
+            # speedup on v5e; exact module fallback for other archs / odd sizes.
+            fa_apply = make_fast_fa_apply(fa_model, fa_vars_c)
     from ted_spad_tpu.ops.fast_i3d import make_fast_ft_extract
 
     # s2d fast stem for I3Res50 (the profiled extraction hotspot); module fallback
@@ -420,9 +471,10 @@ def extract_features(
     )
     if ft_variables is not None:
         ft_vars = ft_variables
-    extract = make_extract_step(
-        ft_model, p, fa, mesh=mesh, yuv=decode_mode == "yuv", yuv_hw=decode_hw
-    )
+    if p.quant not in ("none", "int8"):
+        raise ValueError(f"quant must be 'none' or 'int8', got {p.quant!r}")
+    if p.quant == "int8" and fa is None:
+        raise ValueError("quant='int8' quantizes the fa anonymizer — requires anonymized=True")
 
     bs = batch_size or max(p.batch_size, 1)
     acc: dict[int, dict[int, np.ndarray]] = {}
@@ -464,10 +516,67 @@ def extract_features(
         skipped[uri] = err
         log_fn(f"WARNING: skipping undecodable video {uri}: {err}")
 
-    for clips, refs, clip_counts in iter_clip_batches(
+    batch_iter = iter_clip_batches(
         uris, p, bs, decode_hw=decode_hw, decode_mode=decode_mode,
         num_workers=num_workers, on_error=record_skip,
-    ):
+    )
+
+    quant_scales = None
+    quant_stats: dict[str, Any] = {}
+    if p.quant == "int8":
+        # Calibrate on the run's own leading batches (they are representative by
+        # construction — same decode, same preprocess), then chain them back so
+        # they are extracted normally: calibration costs decode nothing.
+        import itertools
+
+        from ted_spad_tpu.ops.quant_unetpp import act_scales_from_absmax
+
+        fa_model, fa_vars = fa
+        calib = make_fa_calibration_step(
+            p, fa_model, yuv=decode_mode == "yuv", yuv_hw=decode_hw
+        )
+        head_batches = []
+        absmax: dict[str, float] = {}
+        for _ in range(max(1, p.quant_calib_batches)):
+            try:
+                b = next(batch_iter)
+            except StopIteration:
+                break
+            head_batches.append(b)
+            stats = calib(fa_vars, jnp.asarray(b[0]))
+            for k, v in stats.items():
+                absmax[k] = max(absmax.get(k, 0.0), float(v))
+        if not head_batches:
+            log_fn("WARNING: no decodable batches to calibrate on; nothing to extract")
+            return {"saved": {}, "existing": existing, "skipped": skipped, "clips": 0,
+                    "elapsed_s": 0.0, "clips_per_sec": 0.0}
+        quant_scales = act_scales_from_absmax(absmax)
+        quant_stats["quant_calib_batches_used"] = len(head_batches)
+        batch_iter = itertools.chain(head_batches, batch_iter)
+
+    extract = make_extract_step(
+        ft_model, p, fa, mesh=mesh, yuv=decode_mode == "yuv", yuv_hw=decode_hw,
+        quant_act_scales=quant_scales,
+    )
+
+    if quant_scales is not None and p.quant_fidelity_check:
+        # Feature-level fidelity vs the bf16 path on the first calibration batch —
+        # logged and returned so every quantized run carries its own evidence.
+        ref_step = make_extract_step(
+            ft_model, p, fa, mesh=mesh, yuv=decode_mode == "yuv", yuv_hw=decode_hw
+        )
+        b0 = jnp.asarray(head_batches[0][0])
+        fq = np.asarray(extract(ft_vars, b0))
+        fq = fq.reshape(-1, fq.shape[-1])  # (clips[*ncrops], feat_dim)
+        fr = np.asarray(ref_step(ft_vars, b0)).reshape(fq.shape)
+        num = (fq * fr).sum(-1)
+        den = np.linalg.norm(fq, axis=-1) * np.linalg.norm(fr, axis=-1)
+        cos = float(np.mean(num / np.maximum(den, 1e-12)))
+        quant_stats["quant_feature_cossim_vs_bf16"] = round(cos, 5)
+        log_fn(f"quant int8: feature cosine similarity vs bf16 on calibration batch: {cos:.5f}")
+        del ref_step
+
+    for clips, refs, clip_counts in batch_iter:
         counts.update(clip_counts)
         # Async dispatch: enqueue this batch, then drain the previous one while the
         # device works (double buffering through the JAX dispatch queue).
@@ -484,4 +593,5 @@ def extract_features(
            f"({n_clips / max(elapsed, 1e-9):.2f} clips/s)"
            + (f"; skipped {len(skipped)} undecodable" if skipped else ""))
     return {"saved": saved, "existing": existing, "skipped": skipped, "clips": n_clips,
-            "elapsed_s": elapsed, "clips_per_sec": n_clips / max(elapsed, 1e-9)}
+            "elapsed_s": elapsed, "clips_per_sec": n_clips / max(elapsed, 1e-9),
+            **quant_stats}
