@@ -57,13 +57,25 @@ def main() -> None:
           f"(setup {time.perf_counter() - t0:.0f}s)", flush=True)
 
     t0 = time.perf_counter()
-    calib = make_fa_calibration_step(p, fa_model)
-    stats = calib(fa_vars, clips)
+    calib = make_fa_calibration_step(p, fa_model, ft_model=ft_model)
+    stats = calib(fa_vars, ft_vars, clips)
     scales = act_scales_from_absmax({k: float(v) for k, v in stats.items()})
+    fa_scales = {k: v for k, v in scales.items() if not k.startswith("i3d_")}
+    extract_qfa = make_extract_step(ft_model, p, fa=(fa_model, fa_vars),
+                                    quant_act_scales=fa_scales)
+    ms_qfa = device_ms_per_call(lambda c: extract_qfa(ft_vars, c), (clips,),
+                                iters=args.iters)
+    print(f"int8-fa    fused b{args.batch}: {ms_qfa:7.3f} ms/batch  "
+          f"{args.batch / (ms_qfa / 1e3):7.1f} clips/s  "
+          f"{ms_bf16 / ms_qfa:5.2f}x bf16  (setup {time.perf_counter() - t0:.0f}s)",
+          flush=True)
+    del extract_qfa
+
+    t0 = time.perf_counter()
     extract_q = make_extract_step(ft_model, p, fa=(fa_model, fa_vars),
                                   quant_act_scales=scales)
     ms_q = device_ms_per_call(lambda c: extract_q(ft_vars, c), (clips,), iters=args.iters)
-    print(f"int8  fused b{args.batch}: {ms_q:7.3f} ms/batch  "
+    print(f"int8-fa+ft fused b{args.batch}: {ms_q:7.3f} ms/batch  "
           f"{args.batch / (ms_q / 1e3):7.1f} clips/s  "
           f"{ms_bf16 / ms_q:5.2f}x bf16  (setup {time.perf_counter() - t0:.0f}s)", flush=True)
 
@@ -98,6 +110,24 @@ def main() -> None:
     ]:
         ms = device_ms_per_call(fn, (fa_vars, frames), iters=args.iters)
         print(f"{name}: {ms:7.3f} ms / {frames.shape[0]} frames", flush=True)
+
+    # ft-only comparison: bf16 fast stem+module vs quantized, both stem modes.
+    from ted_spad_tpu.ops.fast_i3d import make_fast_ft_extract, space_to_depth_2x2
+    from ted_spad_tpu.ops.quant_i3d import fast_i3d_features_q
+
+    clips_s2d = jax.jit(
+        lambda f: space_to_depth_2x2(f.reshape(args.batch, 16, 224, 224, 3))
+    )(frames)
+    ft_bf16 = make_fast_ft_extract(ft_model)
+    for name, fn in [
+        ("ft bf16 fast stem  ", jax.jit(lambda v, x: ft_bf16(v, x, input_s2d=True))),
+        ("ft int8 (stem bf16)", jax.jit(lambda v, x: fast_i3d_features_q(
+            ft_model, v, x, scales, input_s2d=True))),
+        ("ft int8 (stem int8)", jax.jit(lambda v, x: fast_i3d_features_q(
+            ft_model, v, x, scales, input_s2d=True, stem_int8=True))),
+    ]:
+        ms = device_ms_per_call(fn, (ft_vars, clips_s2d), iters=args.iters)
+        print(f"{name}: {ms:7.3f} ms / {args.batch} clips", flush=True)
 
 
 if __name__ == "__main__":

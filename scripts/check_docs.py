@@ -97,6 +97,41 @@ def checks() -> list[tuple[str, str, str]]:
             ("ROADMAP.md", cur, f"{t2d}#current_122_ms"),
             ("ROADMAP.md", rebin, f"{t2d}#t2d_222_ms"),
         ]
+    qexp = "hw_checklist/exp_int8_conv_r5.log"
+    if _log_finished(qexp):
+        bf = _log_match(qexp, r"conv 224x224 32->32 .*?bf16 ([0-9.]+) ms")
+        i8 = _log_match(qexp, r"conv 224x224 32->32 .*?int8 ([0-9.]+) ms")
+        rq = _log_match(qexp, r"conv 224x224 32->32 .*?int8_requant ([0-9.]+) ms")
+        out += [
+            ("ROADMAP.md", bf, f"{qexp}#conv224_bf16_ms"),
+            ("ROADMAP.md", i8, f"{qexp}#conv224_int8_ms"),
+            ("ROADMAP.md", rq, f"{qexp}#conv224_int8_requant_ms"),
+        ]
+    qup2 = "hw_checklist/exp_int8_up2_r5.log"
+    if _log_finished(qup2):
+        bf = _log_match(qup2, r"up2 112x112 64->32 .*?bf16_dilated ([0-9.]+) ms")
+        i8 = _log_match(qup2, r"up2 112x112 64->32 .*?int8_dilated ([0-9.]+) ms")
+        out += [
+            ("ROADMAP.md", bf, f"{qup2}#up2_112_bf16_ms"),
+            ("ROADMAP.md", i8, f"{qup2}#up2_112_int8_ms"),
+        ]
+    qb = "hw_checklist/bench_quant_r5.log"
+    if _log_finished(qb):
+        for pat, tag in [
+            (r"bf16  fused b16:\s+([0-9.]+) ms", "bf16_ms"),
+            (r"bf16  fused b16:.*?([0-9.]+) clips/s", "bf16_rate"),
+            (r"int8-fa    fused b16:\s+([0-9.]+) ms", "int8_fa_ms"),
+            (r"int8-fa\+ft fused b16:\s+([0-9.]+) ms", "int8_faft_ms"),
+            (r"int8-fa\+ft fused b16:.*?([0-9.]+) clips/s", "int8_faft_rate"),
+            (r"feature cossim vs bf16: ([0-9.]+)", "cossim"),
+            (r"fa bf16 fused      :\s+([0-9.]+) ms", "fa_bf16_ms"),
+            (r"fa int8 \(up2 bf16\) :\s+([0-9.]+) ms", "fa_int8_ms"),
+            (r"fa int8 \(up2 int8\) :\s+([0-9.]+) ms", "fa_int8_up2_ms"),
+            (r"ft bf16 fast stem  :\s+([0-9.]+) ms", "ft_bf16_ms"),
+            (r"ft int8 \(stem bf16\):\s+([0-9.]+) ms", "ft_int8_ms"),
+            (r"ft int8 \(stem int8\):\s+([0-9.]+) ms", "ft_int8_stem_ms"),
+        ]:
+            out.append(("ROADMAP.md", _log_match(qb, pat), f"{qb}#{tag}"))
     anat = "hw_checklist/block_anatomy.json"
     if _os.path.exists(_os.path.join(ROOT, anat)):
         with open(_os.path.join(ROOT, anat)) as f:

@@ -285,6 +285,10 @@ class FeatureExtractionParams(StageParams):
     quant: str = "none"
     quant_calib_batches: int = 2
     quant_fidelity_check: bool = True
+    # Also quantize the ft feature path (ops/quant_i3d.py) when it is the standard
+    # WrapperI3D — measured 1.3-1.6x on its 3D conv families. Ignored (with a log
+    # line) for other ft architectures; fa quantization still applies.
+    quant_ft: bool = True
     # DALI-equivalent windowing (dali_extraction.py:72-73): 16 frames, stride 2, step 32.
     @property
     def clip_stride(self) -> int:

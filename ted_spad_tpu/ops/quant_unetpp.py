@@ -125,8 +125,11 @@ class _Quantizer:
     def conv(self, qx: QT, w: Array, *, strides=(1, 1), padding="SAME",
              lhs_dilation=None) -> Array:
         """One quantized conv: int8 x int8 -> int32 on the MXU, dequantized by the
-        fused per-channel epilogue. Calib mode: the same conv in ``dtype``."""
-        dn = ("NHWC", "HWIO", "NHWC")
+        fused per-channel epilogue. Calib mode: the same conv in ``dtype``.
+        Rank-generic: 4-D operands run NHWC, 5-D run NDHWC (the I3Res50 path)."""
+        dn = (
+            ("NDHWC", "DHWIO", "NDHWC") if qx.data.ndim == 5 else ("NHWC", "HWIO", "NHWC")
+        )
         if self.mode == "calib":
             return jax.lax.conv_general_dilated(
                 qx.data.astype(self.dtype), w.astype(self.dtype), strides, padding,
@@ -150,6 +153,19 @@ class _Quantizer:
         lo = jnp.int8(jnp.iinfo(jnp.int8).min)
         xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], constant_values=lo)
         y = jax.lax.reduce_window(xp, lo, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+        return QT(y, qx.scale)
+
+    def maxpool_valid(self, qx: QT, window, strides) -> QT:
+        """torch MaxPool padding=0 (VALID) over the leading-batch/trailing-channel
+        layout, any spatial rank — scale-preserving on int8 codes like ``maxpool``."""
+        win = (1,) + tuple(window) + (1,)
+        st = (1,) + tuple(strides) + (1,)
+        if self.mode == "calib":
+            from ted_spad_tpu.models.layers import max_pool_valid
+
+            return QT(max_pool_valid(qx.data, window, strides), None)
+        lo = jnp.int8(jnp.iinfo(jnp.int8).min)
+        y = jax.lax.reduce_window(qx.data, lo, jax.lax.max, win, st, "VALID")
         return QT(y, qx.scale)
 
 

@@ -259,11 +259,17 @@ def _make_preprocess(p: FeatureExtractionParams, use_pallas: bool, yuv: bool,
 def make_fa_calibration_step(
     p: FeatureExtractionParams, fa_model, use_pallas: bool | None = None,
     yuv: bool = False, yuv_hw: tuple[int, int] = (240, 320),
+    ft_model=None,
 ) -> Callable:
     """One jitted program: the extraction preprocess + the quantization calibration
-    forward (ops/quant_unetpp.calibrate_unetpp). ``(fa_vars, clips_u8) -> {site:
-    absmax f32 scalar}`` — callers max-reduce across batches and feed
-    ``act_scales_from_absmax`` to build the int8 serving scales."""
+    forward(s). ``(fa_vars[, ft_vars], clips_u8) -> {site: absmax f32 scalar}`` —
+    callers max-reduce across batches and feed ``act_scales_from_absmax`` to build
+    the int8 serving scales.
+
+    With ``ft_model`` (a standard WrapperI3D) the chain continues through the ft
+    feature path exactly as extraction runs it (fa output, s2d-bridged, into the
+    i3d stem — ops/quant_i3d.calibrate_i3d), returning fa and ft stats merged
+    (``i3d_``-prefixed sites are ft's)."""
     from ted_spad_tpu.ops.quant_unetpp import calibrate_unetpp
 
     if use_pallas is None:
@@ -272,14 +278,34 @@ def make_fa_calibration_step(
         use_pallas = False
     preprocess = _make_preprocess(p, use_pallas, yuv, yuv_hw)
 
+    if ft_model is None:
+
+        @jax.jit
+        def calib(fa_vars, clips_u8):
+            img = preprocess(clips_u8)
+            frames = img.reshape((-1,) + img.shape[-3:])
+            _, stats = calibrate_unetpp(fa_vars, frames, dtype=fa_model.dtype)
+            return stats
+
+        return calib
+
+    from ted_spad_tpu.ops.fast_i3d import space_to_depth_2x2
+    from ted_spad_tpu.ops.quant_i3d import calibrate_i3d
+
     @jax.jit
-    def calib(fa_vars, clips_u8):
+    def calib_both(fa_vars, ft_vars, clips_u8):
         img = preprocess(clips_u8)
         frames = img.reshape((-1,) + img.shape[-3:])
-        _, stats = calibrate_unetpp(fa_vars, frames, dtype=fa_model.dtype)
-        return stats
+        anon, stats = calibrate_unetpp(fa_vars, frames, dtype=fa_model.dtype)
+        # (lead..., T, h, w, 3) clips for ft, s2d-bridged like the serving program
+        # (a pure layout permutation — per-tensor absmaxes are bridge-invariant).
+        clips = anon.reshape((-1, img.shape[-4]) + anon.shape[-3:])
+        _, ft_stats = calibrate_i3d(ft_model, ft_vars, space_to_depth_2x2(clips),
+                                    input_s2d=True)
+        assert not set(stats) & set(ft_stats), "fa/ft site collision"
+        return {**stats, **ft_stats}
 
-    return calib
+    return calib_both
 
 
 def make_extract_step(
@@ -394,11 +420,18 @@ def make_extract_step(
             # Fused UNet++ decoder (up2+conv folded into lhs-dilated convs) — ~1.5x fa
             # speedup on v5e; exact module fallback for other archs / odd sizes.
             fa_apply = make_fast_fa_apply(fa_model, fa_vars_c)
-    from ted_spad_tpu.ops.fast_i3d import make_fast_ft_extract
+    if quant_act_scales is not None and "i3d_in" in quant_act_scales:
+        # ft sites present in the calibrated scales -> the ft feature path runs
+        # quantized too (ops/quant_i3d.py).
+        from ted_spad_tpu.ops.quant_i3d import make_quant_ft_extract
 
-    # s2d fast stem for I3Res50 (the profiled extraction hotspot); module fallback
-    # for other ft architectures.
-    ft_extract = make_fast_ft_extract(ft_model)
+        ft_extract = make_quant_ft_extract(ft_model, quant_act_scales)
+    else:
+        from ted_spad_tpu.ops.fast_i3d import make_fast_ft_extract
+
+        # s2d fast stem for I3Res50 (the profiled extraction hotspot); module
+        # fallback for other ft architectures.
+        ft_extract = make_fast_ft_extract(ft_model)
 
     # Public signature stays (ft_vars, clips_u8); the wrapper threads the fa
     # variables through as a device argument ({} when extraction runs raw).
@@ -532,8 +565,18 @@ def extract_features(
         from ted_spad_tpu.ops.quant_unetpp import act_scales_from_absmax
 
         fa_model, fa_vars = fa
+        ft_quant_model = None
+        if p.quant_ft:
+            from ted_spad_tpu.models.i3res50 import WrapperI3D
+
+            if isinstance(ft_model, WrapperI3D) and not ft_model.use_nl:
+                ft_quant_model = ft_model
+            else:
+                log_fn("quant int8: ft is not a standard WrapperI3D — "
+                       "quantizing fa only")
         calib = make_fa_calibration_step(
-            p, fa_model, yuv=decode_mode == "yuv", yuv_hw=decode_hw
+            p, fa_model, yuv=decode_mode == "yuv", yuv_hw=decode_hw,
+            ft_model=ft_quant_model,
         )
         head_batches = []
         absmax: dict[str, float] = {}
@@ -543,7 +586,10 @@ def extract_features(
             except StopIteration:
                 break
             head_batches.append(b)
-            stats = calib(fa_vars, jnp.asarray(b[0]))
+            if ft_quant_model is not None:
+                stats = calib(fa_vars, ft_vars, jnp.asarray(b[0]))
+            else:
+                stats = calib(fa_vars, jnp.asarray(b[0]))
             for k, v in stats.items():
                 absmax[k] = max(absmax.get(k, 0.0), float(v))
         if not head_batches:
