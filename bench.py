@@ -374,8 +374,8 @@ def main() -> None:
             from ted_spad_tpu.ops.quant_unetpp import act_scales_from_absmax
             from ted_spad_tpu.stages.feature_extraction import make_fa_calibration_step
 
-            calib = make_fa_calibration_step(p, fa_model)
-            stats = calib(fa_vars, clips_dev)
+            calib = make_fa_calibration_step(p, fa_model, ft_model=ft_model)
+            stats = calib(fa_vars, ft_vars, clips_dev)
             scales = act_scales_from_absmax({k: float(v) for k, v in stats.items()})
             extract_q = make_extract_step(
                 ft_model, p, fa=(fa_model, fa_vars), quant_act_scales=scales

@@ -132,6 +132,11 @@ def checks() -> list[tuple[str, str, str]]:
             (r"ft int8 \(stem int8\):\s+([0-9.]+) ms", "ft_int8_stem_ms"),
         ]:
             out.append(("ROADMAP.md", _log_match(qb, pat), f"{qb}#{tag}"))
+        for pat, tag in [
+            (r"int8-fa\+ft fused b16:.*?([0-9.]+) clips/s", "int8_faft_rate"),
+            (r"feature cossim vs bf16: ([0-9.]+)", "cossim"),
+        ]:
+            out.append(("README.md", _log_match(qb, pat), f"{qb}#{tag}"))
     anat = "hw_checklist/block_anatomy.json"
     if _os.path.exists(_os.path.join(ROOT, anat)):
         with open(_os.path.join(ROOT, anat)) as f:

@@ -43,6 +43,11 @@ echo "== 1. remat comparison (B=8, on/blocks, fa + fbft)"
 timeout 3600 python -u scripts/bench_remat.py --batch 8 --modes on,blocks --fbft \
   2>&1 | tee hw_checklist/remat.log
 
+echo "== 1.5 int8 quantized serving comparison (bf16 vs int8-fa vs int8-fa+ft +"
+echo "       fidelity + per-model splits). Round-5 record: hw_checklist/bench_quant_r5.log"
+echo "       (404.2 clips/s fa+ft int8 at cossim 0.99993 vs bf16)."
+timeout 3000 python -u scripts/bench_quant.py 2>&1 | tee hw_checklist/bench_quant.log
+
 echo "== 2. bench.py (driver-like envelope)"
 timeout 1500 python bench.py 2> hw_checklist/bench.stderr.log \
   | tee hw_checklist/bench.json
