@@ -137,6 +137,19 @@ def checks() -> list[tuple[str, str, str]]:
             (r"feature cossim vs bf16: ([0-9.]+)", "cossim"),
         ]:
             out.append(("README.md", _log_match(qb, pat), f"{qb}#{tag}"))
+    r5rec = "hw_checklist/bench_r5_record.json"
+    if _os.path.exists(_os.path.join(ROOT, r5rec)):
+        d = _detail(r5rec)
+        out += [
+            ("ROADMAP.md", f"{d['quant_int8_clips_per_sec']:.3f}", f"{r5rec}#quant_int8_clips_per_sec"),
+            ("ROADMAP.md", f"{d['quant_int8_vs_baseline']:.2f}", f"{r5rec}#quant_int8_vs_baseline"),
+            ("ROADMAP.md", f"{d['quant_int8_feature_cossim_vs_bf16']:.5f}", f"{r5rec}#quant_int8_feature_cossim_vs_bf16"),
+            ("ROADMAP.md", f"{d['batched_fused_clips_per_sec']:.3f}", f"{r5rec}#batched_fused_clips_per_sec"),
+            ("ROADMAP.md", f"{d['mfu_of_ceiling']:.3f}", f"{r5rec}#mfu_of_ceiling"),
+        ]
+        with open(_os.path.join(ROOT, r5rec)) as f:
+            top = json.load(f)
+        out.append(("ROADMAP.md", f"{top['vs_baseline']:.3f}", f"{r5rec}#vs_baseline"))
     anat = "hw_checklist/block_anatomy.json"
     if _os.path.exists(_os.path.join(ROOT, anat)):
         with open(_os.path.join(ROOT, anat)) as f:
