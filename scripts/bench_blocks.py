@@ -45,7 +45,14 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--out", default="hw_checklist/block_anatomy.json")
+    ap.add_argument("--quant", action="store_true",
+                    help="measure the int8 W8A8 program's segments instead "
+                         "(ops/quant_unetpp + quant_i3d; scales calibrated on the "
+                         "same random clips; default out becomes "
+                         "hw_checklist/block_anatomy_int8.json)")
     args = ap.parse_args()
+    if args.quant and args.out == "hw_checklist/block_anatomy.json":
+        args.out = "hw_checklist/block_anatomy_int8.json"
     setup_platform(args)
 
     import jax
@@ -157,6 +164,73 @@ def main() -> None:
         ("ft_backbone", seg_ft_backbone, (ftstem_out,)),
     ]
 
+    quant_scales = None
+    if args.quant:
+        # --- int8 program variant: same segmentation, quantized compute where the
+        # serving path quantizes (enc layers / decoder / ft backbone int8; stem,
+        # head, preprocess stay bf16 — ops/quant_unetpp.py design).
+        from ted_spad_tpu.ops.quant_i3d import _q_backbone
+        from ted_spad_tpu.ops.quant_unetpp import (
+            QT,
+            _qdecoder,
+            _qencoder,
+            _Quantizer,
+            act_scales_from_absmax,
+        )
+        from ted_spad_tpu.stages.feature_extraction import make_fa_calibration_step
+
+        note("calibrating activation scales (one batch)")
+        calib = make_fa_calibration_step(p, fa_model, ft_model=ft_model)
+        stats = calib(fa_vars, ft_vars, clips_u8)
+        quant_scales = act_scales_from_absmax(
+            {k: float(v) for k, v in stats.items()}
+        )
+
+        def qz():
+            return _Quantizer("run", quant_scales, dtype)
+
+        def seg_fa_enc_layers_q(f1):
+            # _qencoder includes the bf16 stem conv's BN/relu upstream; segment
+            # boundary matches the bf16 table: input = stem relu output.
+            q = qz()
+            q8f3 = q.q8("f3", f1)
+            from ted_spad_tpu.ops.quant_unetpp import _F_ALIAS, _qbasic
+            import ted_spad_tpu.ops.fast_unetpp as _fu
+
+            x = q.maxpool(q8f3)
+            for lname, nblocks, stride in _fu._R18_ENC_LAYERS:
+                for i in range(nblocks):
+                    site = f"enc_{lname}_{i}"
+                    z = _qbasic(q, p_enc[f"{lname}_{i}"], st_enc[f"{lname}_{i}"], x,
+                                stride if i == 0 else 1, site)
+                    x = q.q8(_F_ALIAS.get((lname, i), f"{site}_out"), z)
+            return x.data
+
+        q8 = lambda a: jnp.clip(jnp.round(a.astype(jnp.float32) * 127), -127, 127
+                                ).astype(jnp.int8)
+        feats_q = [q8(t) for t in feats_in]
+        fsites = ["f0", "f1", "f2", "f3"]
+
+        def seg_fa_decoder_q(f0d, f1d, f2d, f3d):
+            f = [QT(d, quant_scales[s]) for d, s in zip((f0d, f1d, f2d, f3d), fsites)]
+            return _qdecoder(qz(), p_fa, st_fa, f)
+
+        def seg_ft_backbone_q(y):
+            return _q_backbone(
+                qz(), ft_vars["params"]["i3d"], ft_vars["batch_stats"]["i3d"], y,
+                ft_model.layer_specs,
+            )
+
+        segments = [
+            ("preprocess", seg_preprocess, (clips_u8,)),
+            ("fa_enc_stem", seg_fa_enc_stem, (frames,)),
+            ("fa_enc_layers", seg_fa_enc_layers_q, (f1_in,)),
+            ("fa_decoder", seg_fa_decoder_q, tuple(feats_q)),
+            ("fa_head_s2d", seg_fa_head_s2d, (x03_in,)),
+            ("ft_stem", seg_ft_stem, (s2d_in,)),
+            ("ft_backbone", seg_ft_backbone_q, (ftstem_out,)),
+        ]
+
     def flops_of(fn, fargs) -> float:
         try:
             ca = jax.jit(fn).lower(*fargs).compile().cost_analysis()
@@ -178,7 +252,8 @@ def main() -> None:
         note(f"{name:14s} {ms:7.2f} ms  {gf:8.1f} GF  {blocks[name]['tflops_per_s']:6.1f} TF/s")
 
     # Full fused program, same run, same methodology (the comparator).
-    extract = make_extract_step(ft_model, p, fa=(fa_model, fa_vars))
+    extract = make_extract_step(ft_model, p, fa=(fa_model, fa_vars),
+                                quant_act_scales=quant_scales)
     full = lambda c: extract(ft_vars, c)
     fused_ms = device_ms_per_call(full, (clips_u8,), iters=args.iters)
     total_gf = flops_of(full, (clips_u8,)) / 1e9
@@ -193,6 +268,10 @@ def main() -> None:
     rec = {
         "device": str(jax.devices()[0]),
         "device_kind": jax.devices()[0].device_kind,
+        # int8 records: flops are XLA cost-analysis numbers and mfu_* are vs the
+        # bf16 peak — an EFFECTIVE utilization (>0.53 is possible on the 394 TOPS
+        # int8 MXU path), comparable to the bf16 table, not a physical fraction.
+        "quant": bool(args.quant),
         "batch": B,
         "iters": args.iters,
         "peak_tflops": peak / 1e12,

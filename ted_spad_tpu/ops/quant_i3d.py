@@ -57,23 +57,10 @@ def _qbottleneck(qz: _Quantizer, p: dict, s: dict, qx: QT, stride: int, tc: int,
     return jax.nn.relu(y + r)
 
 
-def _q_features(qz: _Quantizer, variables: dict, x: Array, layer_specs,
-                input_s2d: bool, stem_int8: bool) -> Array:
-    """Stem + backbone + global average pool == I3Res50.features in eval mode
-    (models/i3res50.py:170-190), on the s2d input layout (ops/fast_i3d.py)."""
-    p, s = variables["params"]["i3d"], variables["batch_stats"]["i3d"]
-    ws = stem_s2d_kernel(p["stem"]["conv"]["kernel"].astype(jnp.float32))
-    xs = x.astype(qz.dtype) if input_s2d else space_to_depth_2x2(x.astype(qz.dtype))
-    if stem_int8:
-        y = qz.conv(qz.q8("i3d_stem_in", xs), ws, strides=(2, 1, 1),
-                    padding=[(2, 2), (2, 1), (2, 1)])
-    else:
-        y = jax.lax.conv_general_dilated(
-            xs, ws.astype(qz.dtype), (2, 1, 1), [(2, 2), (2, 1), (2, 1)],
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=qz.dtype,
-        )
-    y = _affine_relu(y, p["stem"]["bn"], s["stem"]["bn"], qz.dtype)
+def _q_backbone(qz: _Quantizer, p: dict, s: dict, y: Array, layer_specs) -> Array:
+    """Backbone from the stem's ReLU output to the pooled (B, 2048) f32 features —
+    the post-stem part of ``_q_features``, exposed for per-segment measurement
+    (scripts/bench_blocks.py --quant)."""
     xq = qz.q8("i3d_in", y)
     xq = qz.maxpool_valid(xq, (2, 3, 3), (2, 2, 2))
     last = (len(layer_specs) - 1, layer_specs[-1][1] - 1)
@@ -93,6 +80,26 @@ def _q_features(qz: _Quantizer, variables: dict, x: Array, layer_specs,
             xq = qz.maxpool_valid(xq, (2, 1, 1), (2, 1, 1))
     # AdaptiveAvgPool to (B, C) in f32 (models/layers.py:global_avg_pool).
     return jnp.mean(out.astype(jnp.float32), axis=tuple(range(1, out.ndim - 1)))
+
+
+def _q_features(qz: _Quantizer, variables: dict, x: Array, layer_specs,
+                input_s2d: bool, stem_int8: bool) -> Array:
+    """Stem + backbone + global average pool == I3Res50.features in eval mode
+    (models/i3res50.py:170-190), on the s2d input layout (ops/fast_i3d.py)."""
+    p, s = variables["params"]["i3d"], variables["batch_stats"]["i3d"]
+    ws = stem_s2d_kernel(p["stem"]["conv"]["kernel"].astype(jnp.float32))
+    xs = x.astype(qz.dtype) if input_s2d else space_to_depth_2x2(x.astype(qz.dtype))
+    if stem_int8:
+        y = qz.conv(qz.q8("i3d_stem_in", xs), ws, strides=(2, 1, 1),
+                    padding=[(2, 2), (2, 1), (2, 1)])
+    else:
+        y = jax.lax.conv_general_dilated(
+            xs, ws.astype(qz.dtype), (2, 1, 1), [(2, 2), (2, 1), (2, 1)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=qz.dtype,
+        )
+    y = _affine_relu(y, p["stem"]["bn"], s["stem"]["bn"], qz.dtype)
+    return _q_backbone(qz, p, s, y, layer_specs)
 
 
 def _check_supported(ft_model) -> None:

@@ -221,11 +221,10 @@ def _qencoder(qz: _Quantizer, p_enc: dict, s_enc: dict, frames: Array) -> list[Q
     return feats[::-1]
 
 
-def _qforward(qz: _Quantizer, variables: dict, frames: Array, emit_s2d: bool,
-              up2_int8: bool = False) -> Array:
-    p, st = variables["params"], variables["batch_stats"]
-    in_h, in_w = frames.shape[-3], frames.shape[-2]
-    f = _qencoder(qz, p["encoder"], st["encoder"], frames)
+def _qdecoder(qz: _Quantizer, p: dict, st: dict, f: list, up2_int8: bool = False) -> Array:
+    """The quantized nested-skip decoder over the f list of QTs — the decoder part
+    of ``_qforward``, exposed for per-segment measurement (scripts/bench_blocks.py).
+    Returns x_0_3 (plain ``dtype``, pre-head)."""
 
     def blk(name: str, xin: QT, skip_sum):
         pb, sb = p[name], st[name]
@@ -263,7 +262,15 @@ def _qforward(qz: _Quantizer, variables: dict, frames: Array, emit_s2d: bool,
     def conv(site: str, qx: QT, w: Array) -> Array:
         return qz.conv(qx, w)
 
-    x_0_3 = _decoder_schedule(p, f, qz.dtype, blk, conv=conv)
+    return _decoder_schedule(p, f, qz.dtype, blk, conv=conv)
+
+
+def _qforward(qz: _Quantizer, variables: dict, frames: Array, emit_s2d: bool,
+              up2_int8: bool = False) -> Array:
+    p, st = variables["params"], variables["batch_stats"]
+    in_h, in_w = frames.shape[-3], frames.shape[-2]
+    f = _qencoder(qz, p["encoder"], st["encoder"], frames)
+    x_0_3 = _qdecoder(qz, p, st, f, up2_int8)
     return _apply_head(p["head"], x_0_3, in_h, in_w, qz.dtype, emit_s2d)
 
 
